@@ -1,0 +1,386 @@
+"""TPU-native point-cloud geometry ops (pure JAX/XLA reference backend).
+
+This module is the single geometry-ops layer of the framework. It replaces
+the five duplicated pure-torch copies scattered across the reference repo
+(`model/pointnet2_utils.py`, `model/pct_utils.py`, `util/pointconv_util.py`,
+`ShapeAttack/HiT_ADV.py`, `util/other_utils.py`) as well as the vendored CUDA
+extension `pointnet2_ops_lib/` (furthest_point_sampling, gather, ball_query,
+group, three_nn, three_interpolate — see reference `bindings.cpp:6-19`) and
+pytorch3d's `knn_points` / `knn_gather`.
+
+Design notes (TPU-first):
+  * All pairwise distances go through one matmul-based kernel so the MXU does
+    the FLOPs: ``|x|^2 + |y|^2 - 2 x.y``.
+  * kNN / ball-query are ``lax.top_k`` / sort over that distance matrix —
+    static shapes, no data-dependent control flow, fully fusable by XLA.
+  * FPS is the one inherently sequential op; it is a ``lax.fori_loop``
+    carrying the running min-distance field ``[B, N]`` (resident in VMEM at
+    reference sizes). A Pallas variant lives in ``ops/pallas_kernels.py``.
+  * Gathers use ``jnp.take_along_axis`` whose transpose is a scatter-add —
+    the exact semantics of the reference's hand-written ``*_grad`` CUDA
+    kernels (`sampling_gpu.cu:33-57`, `group_points_gpu.cu`), so no custom
+    VJPs are required for correctness; autodiff matches by construction.
+
+Conventions: point clouds are ``[B, N, 3]`` (points-last-dim) unless a
+function documents otherwise. Everything is batch-first and jit/vmap/pjit
+friendly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+# ---------------------------------------------------------------------------
+# Pairwise distances
+# ---------------------------------------------------------------------------
+
+def square_distance(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
+    """Squared euclidean distance between every pair of points.
+
+    Matches reference `model/pointnet2_utils.py:19-40` (and its 5 dupes).
+
+    Args:
+      src: ``[B, N, C]`` source points.
+      dst: ``[B, M, C]`` target points.
+    Returns:
+      ``[B, N, M]`` squared distances.
+    """
+    # -2 x.y via MXU; the norms ride along as rank-1 broadcasts that XLA
+    # fuses into the matmul epilogue.
+    inner = jnp.matmul(src, jnp.swapaxes(dst, -1, -2),
+                       preferred_element_type=jnp.float32)
+    s2 = jnp.sum(src * src, axis=-1, keepdims=True)          # [B, N, 1]
+    d2 = jnp.sum(dst * dst, axis=-1, keepdims=True)          # [B, M, 1]
+    return s2 - 2.0 * inner + jnp.swapaxes(d2, -1, -2)
+
+
+def pairwise_distance(points: jnp.ndarray) -> jnp.ndarray:
+    """Self squared-distance matrix ``[B, N, N]``."""
+    return square_distance(points, points)
+
+
+# ---------------------------------------------------------------------------
+# Gather / indexing
+# ---------------------------------------------------------------------------
+
+def index_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Batched fancy-index: ``points[b, idx[b, ...], :]``.
+
+    Matches reference `model/pointnet2_utils.py:43-60` and the CUDA
+    `gather_points` (`sampling_gpu.cu:8-31`); its autodiff transpose is the
+    scatter-add of `gather_points_grad` (`sampling_gpu.cu:33-57`).
+
+    Args:
+      points: ``[B, N, C]``.
+      idx: integer ``[B, S]`` or ``[B, S, K]`` (any trailing index dims).
+    Returns:
+      ``[B, *idx.shape[1:], C]``.
+    """
+    B, N, C = points.shape
+    idx_flat = idx.reshape(B, -1)                             # [B, S*]
+    out = jnp.take_along_axis(points, idx_flat[..., None], axis=1)
+    return out.reshape(*idx.shape, C)
+
+
+def knn_gather(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather neighbor features, pytorch3d `knn_gather` parity.
+
+    Args:
+      points: ``[B, N, C]``.
+      idx: ``[B, S, K]`` neighbor indices.
+    Returns:
+      ``[B, S, K, C]``.
+    """
+    return index_points(points, idx)
+
+
+# ---------------------------------------------------------------------------
+# kNN
+# ---------------------------------------------------------------------------
+
+class KNNResult(NamedTuple):
+    """pytorch3d-compatible kNN result: squared dists + indices."""
+    dists: jnp.ndarray  # [B, S, K] squared distances, ascending
+    idx: jnp.ndarray    # [B, S, K] int32
+
+
+def knn_points(query: jnp.ndarray, points: jnp.ndarray, k: int) -> KNNResult:
+    """k nearest neighbors of each query point, pytorch3d parity.
+
+    Sorted ascending by squared distance (pytorch3d returns squared dists).
+
+    Args:
+      query: ``[B, S, C]``.
+      points: ``[B, N, C]``.
+      k: number of neighbors.
+    """
+    d = square_distance(query, points)                        # [B, S, N]
+    neg, idx = lax.top_k(-d, k)                               # ascending dist
+    return KNNResult(dists=-neg, idx=idx.astype(jnp.int32))
+
+
+def knn_indices(points: jnp.ndarray, k: int,
+                exclude_self: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Self-kNN used by DGCNN / KNNDist / Laplacian.
+
+    Matches `util/dist_utils.py:217-229` (k+1 then drop-self convention).
+
+    Args:
+      points: ``[B, N, C]``.
+      k: neighbors (excluding self when ``exclude_self``).
+    Returns:
+      (sq_dists ``[B, N, k]``, idx ``[B, N, k]``).
+    """
+    kk = k + 1 if exclude_self else k
+    res = knn_points(points, points, kk)
+    if exclude_self:
+        return res.dists[..., 1:], res.idx[..., 1:]
+    return res.dists, res.idx
+
+
+# ---------------------------------------------------------------------------
+# Farthest point sampling
+# ---------------------------------------------------------------------------
+
+def farthest_point_sample(xyz: jnp.ndarray, npoint: int,
+                          key: Optional[jax.Array] = None,
+                          start_idx: Optional[int] = 0) -> jnp.ndarray:
+    """Greedy max-min farthest point sampling.
+
+    Matches reference `model/pointnet2_utils.py:63-84` (random start when a
+    PRNG ``key`` is given — the attack-path convention) and the CUDA kernel
+    `sampling_gpu.cu:86` / `util/pointconv_util.py:64-87` (start at index 0 —
+    the model-path convention) when ``start_idx=0``.
+
+    The loop carries only the ``[B, N]`` min-distance field; each step is one
+    broadcast-subtract + reduce, which XLA keeps resident on-chip.
+
+    Args:
+      xyz: ``[B, N, 3]``.
+      npoint: number of samples (static).
+      key: optional PRNG key → random start index per batch element.
+      start_idx: fixed start index when ``key`` is None.
+    Returns:
+      ``[B, npoint]`` int32 indices.
+    """
+    B, N, _ = xyz.shape
+    if key is not None:
+        farthest0 = jax.random.randint(key, (B,), 0, N, dtype=jnp.int32)
+    else:
+        farthest0 = jnp.full((B,), start_idx, dtype=jnp.int32)
+
+    def body(i, carry):
+        distance, farthest, centroids = carry
+        centroids = centroids.at[:, i].set(farthest)
+        centroid = jnp.take_along_axis(
+            xyz, farthest[:, None, None], axis=1)             # [B, 1, 3]
+        dist = jnp.sum((xyz - centroid) ** 2, axis=-1)        # [B, N]
+        distance = jnp.minimum(distance, dist)
+        farthest = jnp.argmax(distance, axis=-1).astype(jnp.int32)
+        return distance, farthest, centroids
+
+    init = (jnp.full((B, N), 1e10, dtype=xyz.dtype),
+            farthest0,
+            jnp.zeros((B, npoint), dtype=jnp.int32))
+    _, _, centroids = lax.fori_loop(0, npoint, body, init)
+    return centroids
+
+
+# ---------------------------------------------------------------------------
+# Ball query
+# ---------------------------------------------------------------------------
+
+def query_ball_point(radius: float, nsample: int, xyz: jnp.ndarray,
+                     new_xyz: jnp.ndarray) -> jnp.ndarray:
+    """Indices of up to ``nsample`` points within ``radius`` of each center.
+
+    Bit-exact with the reference pad-with-first semantics
+    (`model/pointnet2_utils.py:87-107`): out-of-ball slots are filled with
+    the first in-ball index (ascending index order, the sort-and-fill trick).
+
+    Args:
+      radius: ball radius.
+      nsample: group size (static).
+      xyz: ``[B, N, 3]`` all points.
+      new_xyz: ``[B, S, 3]`` query centers.
+    Returns:
+      ``[B, S, nsample]`` int32 indices.
+    """
+    B, N, _ = xyz.shape
+    S = new_xyz.shape[1]
+    sqrdists = square_distance(new_xyz, xyz)                  # [B, S, N]
+    arange = lax.broadcasted_iota(jnp.int32, (B, S, N), 2)
+    group_idx = jnp.where(sqrdists > radius ** 2, N, arange)
+    # ascending sort puts in-ball (small) indices first, sentinel N last
+    group_idx = jnp.sort(group_idx, axis=-1)[:, :, :nsample]
+    first = group_idx[:, :, :1]
+    group_idx = jnp.where(group_idx == N, first, group_idx)
+    return group_idx.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# sample_and_group (PointNet++ / PCT front-ends)
+# ---------------------------------------------------------------------------
+
+def sample_and_group(npoint: int, radius: float, nsample: int,
+                     xyz: jnp.ndarray, points: Optional[jnp.ndarray],
+                     key: Optional[jax.Array] = None,
+                     return_fps: bool = False):
+    """FPS → ball query → gather → center-subtract → concat features.
+
+    Matches reference `model/pointnet2_utils.py:110-138`.
+
+    Args:
+      xyz: ``[B, N, 3]``.
+      points: optional ``[B, N, D]`` features.
+    Returns:
+      (new_xyz ``[B, npoint, 3]``, new_points ``[B, npoint, nsample, 3+D]``)
+      plus (grouped_xyz, fps_idx) when ``return_fps``.
+    """
+    B, N, C = xyz.shape
+    fps_idx = farthest_point_sample(xyz, npoint, key=key)
+    new_xyz = index_points(xyz, fps_idx)                      # [B, S, 3]
+    idx = query_ball_point(radius, nsample, xyz, new_xyz)
+    grouped_xyz = index_points(xyz, idx)                      # [B, S, ns, 3]
+    grouped_xyz_norm = grouped_xyz - new_xyz[:, :, None, :]
+    if points is not None:
+        grouped_points = index_points(points, idx)
+        new_points = jnp.concatenate([grouped_xyz_norm, grouped_points],
+                                     axis=-1)
+    else:
+        new_points = grouped_xyz_norm
+    if return_fps:
+        return new_xyz, new_points, grouped_xyz, fps_idx
+    return new_xyz, new_points
+
+
+def sample_and_group_all(xyz: jnp.ndarray,
+                         points: Optional[jnp.ndarray]):
+    """Single global group. Matches `model/pointnet2_utils.py:142-159`."""
+    B, N, C = xyz.shape
+    new_xyz = jnp.zeros((B, 1, C), dtype=xyz.dtype)
+    grouped_xyz = xyz[:, None, :, :]                          # [B, 1, N, 3]
+    if points is not None:
+        new_points = jnp.concatenate(
+            [grouped_xyz, points[:, None, :, :]], axis=-1)
+    else:
+        new_points = grouped_xyz
+    return new_xyz, new_points
+
+
+def knn_point(nsample: int, xyz: jnp.ndarray,
+              new_xyz: jnp.ndarray) -> jnp.ndarray:
+    """kNN group indices (PCT variant). Matches `model/pct_utils.py:98-109`."""
+    return knn_points(new_xyz, xyz, nsample).idx
+
+
+def sample_and_group_knn(npoint: int, nsample: int, xyz: jnp.ndarray,
+                         points: jnp.ndarray,
+                         key: Optional[jax.Array] = None):
+    """PCT's sample_and_group: kNN groups + feature-delta concat.
+
+    Matches reference `model/pct_utils.py:111-141`: new features are
+    ``concat([grouped_points - center_points, center_points (tiled)])``.
+    """
+    B, N, C = xyz.shape
+    fps_idx = farthest_point_sample(xyz, npoint, key=key)
+    new_xyz = index_points(xyz, fps_idx)                      # [B, S, 3]
+    new_points = index_points(points, fps_idx)                # [B, S, D]
+    idx = knn_point(nsample, xyz, new_xyz)                    # [B, S, ns]
+    grouped_points = index_points(points, idx)                # [B, S, ns, D]
+    grouped_norm = grouped_points - new_points[:, :, None, :]
+    tiled = jnp.broadcast_to(new_points[:, :, None, :],
+                             grouped_norm.shape)
+    return new_xyz, jnp.concatenate([grouped_norm, tiled], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# three_nn / three_interpolate (PointNet++ feature propagation)
+# ---------------------------------------------------------------------------
+
+def three_nn(unknown: jnp.ndarray,
+             known: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """3 nearest known points for each unknown point.
+
+    Matches CUDA `interpolate_gpu.cu:10-42`; returns *euclidean* (not
+    squared) distances like the CUDA kernel does.
+
+    Args:
+      unknown: ``[B, N, 3]``.
+      known: ``[B, M, 3]``.
+    Returns:
+      (dists ``[B, N, 3]``, idx ``[B, N, 3]``).
+    """
+    res = knn_points(unknown, known, 3)
+    return jnp.sqrt(jnp.maximum(res.dists, 0.0)), res.idx
+
+
+def three_interpolate(points: jnp.ndarray, idx: jnp.ndarray,
+                      weight: jnp.ndarray) -> jnp.ndarray:
+    """Weighted 3-neighbor feature interpolation.
+
+    Matches CUDA `interpolate_gpu.cu:44-154`; gradient via autodiff (the
+    transpose is exactly `three_interpolate_grad`'s scatter-add).
+
+    Args:
+      points: ``[B, M, C]`` known features.
+      idx: ``[B, N, 3]``.
+      weight: ``[B, N, 3]``.
+    Returns:
+      ``[B, N, C]``.
+    """
+    gathered = index_points(points, idx)                      # [B, N, 3, C]
+    return jnp.sum(gathered * weight[..., None], axis=2)
+
+
+def interpolate_weights(dists: jnp.ndarray,
+                        eps: float = 1e-8) -> jnp.ndarray:
+    """Inverse-distance weights used by FeaturePropagation.
+
+    Matches `model/pointnet2_utils.py:296-299` (reciprocal of *squared*
+    distance there; pass squared dists for exact parity).
+    """
+    recip = 1.0 / (dists + eps)
+    return recip / jnp.sum(recip, axis=-1, keepdims=True)
+
+
+# ---------------------------------------------------------------------------
+# Grouping (pointnet2_ops `group_points` parity)
+# ---------------------------------------------------------------------------
+
+def group_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Channels-last grouping: ``[B, N, C], [B, S, ns] -> [B, S, ns, C]``.
+
+    The channels-first CUDA `group_points` (`group_points_gpu.cu`) composed
+    with its grad is exactly this gather + scatter-add transpose.
+    """
+    return index_points(points, idx)
+
+
+# ---------------------------------------------------------------------------
+# Misc small helpers shared across attack math
+# ---------------------------------------------------------------------------
+
+def l2_normalize(x: jnp.ndarray, axis: int = -1,
+                 eps: float = 1e-12) -> jnp.ndarray:
+    """Torch `F.normalize` parity: x / max(|x|_2, eps)."""
+    n = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / jnp.maximum(n, eps)
+
+
+def median_points(pc: jnp.ndarray, axis: int = 1) -> jnp.ndarray:
+    """Per-cloud coordinate-wise median (torch.median parity: lower median).
+
+    torch.median returns the lower of the two middle elements for even N,
+    while jnp.median averages them — we reproduce torch here because the
+    HiT-ADV saliency center depends on it (`ShapeAttack/HiT_ADV.py:64`).
+    """
+    n = pc.shape[axis]
+    sorted_pc = jnp.sort(pc, axis=axis)
+    return jnp.take(sorted_pc, (n - 1) // 2, axis=axis)
