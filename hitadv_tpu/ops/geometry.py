@@ -52,8 +52,12 @@ def square_distance(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
       ``[B, N, M]`` squared distances.
     """
     # -2 x.y via MXU; the norms ride along as rank-1 broadcasts that XLA
-    # fuses into the matmul epilogue.
+    # fuses into the matmul epilogue. Precision HIGHEST is required: with
+    # the TPU default (bf16 inputs) the absolute error (~1e-2 at unit
+    # scale) exceeds ball-query radii and breaks self-distance==0, which
+    # downstream index ops (ball query sentinel, kNN drop-self) rely on.
     inner = jnp.matmul(src, jnp.swapaxes(dst, -1, -2),
+                       precision=lax.Precision.HIGHEST,
                        preferred_element_type=jnp.float32)
     s2 = jnp.sum(src * src, axis=-1, keepdims=True)          # [B, N, 1]
     d2 = jnp.sum(dst * dst, axis=-1, keepdims=True)          # [B, M, 1]
@@ -221,7 +225,9 @@ def query_ball_point(radius: float, nsample: int, xyz: jnp.ndarray,
     group_idx = jnp.sort(group_idx, axis=-1)[:, :, :nsample]
     first = group_idx[:, :, :1]
     group_idx = jnp.where(group_idx == N, first, group_idx)
-    return group_idx.astype(jnp.int32)
+    # Empty ball (first itself is the sentinel) is out-of-contract — the
+    # reference would index OOB. Clamp so TPU gathers stay defined.
+    return jnp.minimum(group_idx, N - 1).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
