@@ -1,0 +1,27 @@
+"""Attack engines (L4): every attack compiles to one XLA program.
+
+The reference runs each attack as a Python loop of small CUDA launches
+with a host sync per iteration (`CW/Perturb.py:95-173`,
+`ShapeAttack/HiT_ADV.py:156-261`). Here the whole attack — inner
+optimizer loop, outer binary search, per-example best-result
+bookkeeping — is traced once: loops are ``lax.scan``/``fori_loop``,
+bookkeeping is masked ``jnp.where`` updates on carried arrays, and the
+only host transfer is the final result.
+
+Factory convention: ``make_<attack>(logits_fn, cfg) -> attack_fn`` where
+``logits_fn: [B, N, 3] -> [B, num_classes]`` is the victim (already
+bound to its params) and ``attack_fn(points, labels, key) ->
+AttackResult``. The returned function is jit-compiled.
+"""
+
+from hitadv_tpu.attacks.base import AttackResult, make_adv_fn  # noqa: F401
+from hitadv_tpu.attacks.fgm import (  # noqa: F401
+    make_fgm_l2,
+    make_fgsm,
+    make_fgsm_rs,
+    make_ifgm_l2,
+    make_ifgsm,
+    make_mifgsm,
+    make_pgd,
+)
+# Attack families below are appended as they land (build plan SURVEY.md §7).

@@ -1,0 +1,112 @@
+"""Functional layers: pointwise conv (= matmul), linear, batchnorm.
+
+Weight layout conventions (chosen so XLA sees plain ``[..., Cin] @ [Cin,
+Cout]`` matmuls on the MXU):
+  * linear / 1x1-conv weight: ``[Cin, Cout]`` (PyTorch stores ``[Cout,
+    Cin]`` / ``[Cout, Cin, 1]`` — the converter transposes).
+  * batchnorm: dict of ``scale/bias/mean/var`` each ``[C]``; eval-mode
+    only, eps matches torch's 1e-5 default.
+
+Initializers reproduce PyTorch's Conv/Linear defaults
+(kaiming-uniform(a=√5) ⇒ U(-1/√fan_in, 1/√fan_in) for both weight and
+bias) so randomly initialized victims have torch-typical activation
+scales even before a checkpoint is loaded.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+Params = Dict[str, jnp.ndarray]
+
+
+# ---------------------------------------------------------------------------
+# Linear / pointwise conv
+# ---------------------------------------------------------------------------
+
+def linear_init(key: jax.Array, in_features: int, out_features: int,
+                bias: bool = True) -> Params:
+    wkey, bkey = jax.random.split(key)
+    bound = 1.0 / math.sqrt(in_features)
+    p = {"w": jax.random.uniform(wkey, (in_features, out_features),
+                                 minval=-bound, maxval=bound)}
+    if bias:
+        p["b"] = jax.random.uniform(bkey, (out_features,),
+                                    minval=-bound, maxval=bound)
+    return p
+
+
+# A 1x1 Conv1d over points is exactly a linear layer applied per point.
+conv1x1_init = linear_init
+
+
+def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """``[..., Cin] -> [..., Cout]`` matmul; bias optional."""
+    y = jnp.matmul(x, p["w"], preferred_element_type=jnp.float32)
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+# ---------------------------------------------------------------------------
+# BatchNorm (inference)
+# ---------------------------------------------------------------------------
+
+def batchnorm_init(c: int) -> Params:
+    return {"scale": jnp.ones((c,)), "bias": jnp.zeros((c,)),
+            "mean": jnp.zeros((c,)), "var": jnp.ones((c,))}
+
+
+def batchnorm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Eval-mode BN over the trailing channel dim.
+
+    Works for both torch BatchNorm1d over features ``[B, C]`` and over
+    point sequences ``[B, N, C]`` / groups ``[B, S, ns, C]`` (torch's
+    BatchNorm1d/2d normalize dim 1 = channels; channels are trailing
+    here).
+    """
+    inv = jax.lax.rsqrt(p["var"] + eps)
+    return (x - p["mean"]) * (inv * p["scale"]) + p["bias"]
+
+
+# ---------------------------------------------------------------------------
+# Activations
+# ---------------------------------------------------------------------------
+
+def relu(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.maximum(x, 0.0)
+
+
+def leaky_relu(x: jnp.ndarray, negative_slope: float = 0.2) -> jnp.ndarray:
+    return jnp.where(x >= 0, x, negative_slope * x)
+
+
+# ---------------------------------------------------------------------------
+# Conv-BN(-act) stacks (the ubiquitous pattern in all victims)
+# ---------------------------------------------------------------------------
+
+def mlp_init(key: jax.Array, channels: Sequence[int],
+             bias: bool = True) -> Dict[str, Params]:
+    """Init a stack of (1x1 conv + BN) layers: channels [c0, c1, ..., ck]."""
+    params = {}
+    keys = jax.random.split(key, len(channels) - 1)
+    for i, (cin, cout) in enumerate(zip(channels[:-1], channels[1:])):
+        params[f"conv{i}"] = conv1x1_init(keys[i], cin, cout, bias=bias)
+        params[f"bn{i}"] = batchnorm_init(cout)
+    return params
+
+
+def mlp_apply(params: Dict[str, Params], x: jnp.ndarray,
+              act=relu, last_act: bool = True) -> jnp.ndarray:
+    """Apply the conv-bn-act stack; ``last_act=False`` skips the final act."""
+    n = len(params) // 2
+    for i in range(n):
+        x = batchnorm(params[f"bn{i}"], linear(params[f"conv{i}"], x))
+        if act is not None and (last_act or i < n - 1):
+            x = act(x)
+    return x

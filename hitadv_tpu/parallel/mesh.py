@@ -1,0 +1,59 @@
+"""Device mesh helpers for batch-data-parallel attack evaluation.
+
+Design (SURVEY.md §2.8 "TPU-native equivalents"): every attack here is a
+pure function of ``(points [B, ...], labels [B], key)`` whose internal
+state is per-example, so sharding dim 0 over a 1-D mesh makes XLA run the
+entire attack — model forwards/backwards, Adam, binary search — fully
+data-parallel with zero communication until the final metric reduction
+(which jit lowers to an ICI all-reduce automatically when the caller
+aggregates sharded outputs).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              axis_name: str = "dp") -> Mesh:
+    """1-D device mesh over the first ``n_devices`` (default: all)."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "dp") -> NamedSharding:
+    """Shard dim 0 (batch) over the mesh, replicate the rest."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_attack(attack_fn: Callable, mesh: Mesh,
+                 axis_name: str = "dp") -> Callable:
+    """Wrap an attack so inputs are batch-sharded over ``mesh``.
+
+    The batch size must be divisible by the mesh size. Model params are
+    closed over inside ``attack_fn`` and get replicated by jit; the
+    returned AttackResult arrays stay batch-sharded (gather happens only
+    if the caller pulls them to host).
+    """
+    in_shard = batch_sharding(mesh, axis_name)
+    repl = replicate(mesh)
+
+    def wrapped(points, labels, key=None):
+        points = jax.device_put(points, in_shard)
+        labels = jax.device_put(labels, in_shard)
+        if key is not None:
+            key = jax.device_put(key, repl)
+        return attack_fn(points, labels, key)
+
+    return wrapped
