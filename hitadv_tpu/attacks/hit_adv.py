@@ -1,0 +1,266 @@
+"""HiT-ADV — the flagship shape-aware attack (CVPR'24 "Hide in Thicket").
+
+Parity surface: `ShapeAttack/HiT_ADV.py:15-287`:
+  1. score = 0.001·norm(saliency) + norm(kappa_std) with *global*
+     (whole-tensor) min/max normalization (:64-72);
+  2. two-stage central-point selection: FPS(total_central_num) → kNN ring
+     → per-ring argmax of score → global top-k(central_num) (:74-93);
+  3. deformation: Gaussian-kernel-weighted blend of per-center rigid
+     translations — variables ``perturb_mat [B, Cn, 3]`` and kernel widths
+     ``gauss_delta [B, Cn]`` (:130-137, :168-175);
+  4. losses: CW margin + cd·Chamfer + ker·(|pert| + |1-δ|)/Cn +
+     hide·cos-sim(δ, curvature-std) (:223-243);
+  5. outer binary search over ``scale_const`` (:125, :264-273) with the
+     reference's exact coupling: because the per-example loss vector is
+     ``.mean()``-ed before backward, scale_const enters the gradient as
+     its *batch mean* (:242-245) — reproduced faithfully.
+
+TPU design: the 192-step Python accumulation loop (:170-175) is one
+einsum (``tmp_adv = ori + (pertᵀ·ker)/Σker``, an MXU matmul); the whole
+attack (10 binary steps × num_iter Adam steps, both scanned) is a single
+XLA program with zero host syncs — the reference syncs four tensors to
+numpy every iteration (:197-201).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from hitadv_tpu.attacks.base import (
+    AttackResult,
+    adam_init,
+    adam_update,
+)
+from hitadv_tpu.losses import chamfer_dist, cross_entropy_loss
+from hitadv_tpu.losses.distance import get_kappa, get_kappa_std
+from hitadv_tpu.ops import geometry as G
+
+
+@dataclass(frozen=True)
+class HiTADVConfig:
+    """Defaults of record: `eval.py:32,49-59,67` + `FGM/CWPert_args.py:39-44`."""
+    attack_lr: float = 1e-2
+    init_weight: float = 10.0
+    max_weight: float = 80.0
+    binary_step: int = 10
+    num_iter: int = 100
+    cd_weight: float = 1e-4
+    ker_weight: float = 1.0
+    hide_weight: float = 1.0
+    curv_loss_knn: int = 16
+    central_num: int = 192
+    total_central_num: int = 256
+    max_sigm: float = 1.2
+    min_sigm: float = 0.1
+    budget: float = 0.55
+    alpha: float = 1.0
+
+
+def _global_minmax_norm(x: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
+    """Whole-tensor (not per-example) min/max normalization — the
+    reference uses torch.min/max without dims (:67-70)."""
+    lo, hi = jnp.min(x), jnp.max(x)
+    return (x - lo) / (hi - lo + eps)
+
+
+def make_hit_adv(logits_fn: Callable, adv_fn: Callable,
+                 cfg: HiTADVConfig = HiTADVConfig()):
+    """Build the jitted HiT-ADV attack.
+
+    Args:
+      logits_fn: victim ``[B, N, 3] -> [B, C]``.
+      adv_fn: per-example adversarial loss (the eval config uses the
+        untargeted CW margin with kappa=30, `eval.py:85`).
+    Returns:
+      ``attack(points [B, N, 6], labels, key) -> AttackResult`` —
+      normals required for the curvature scoring.
+    """
+    Cn = cfg.central_num
+
+    def kernel_density(central, ori, delta):
+        """ker[b, j, n] = exp(-|ori_n - c_j| / (2 δ_j²)). Parity :298-304
+        (note: euclidean norm, NOT squared, in the exponent)."""
+        d = jnp.sqrt(jnp.maximum(
+            G.square_distance(central, ori), 1e-12))          # [B, Cn, N]
+        return jnp.exp(-d / (2.0 * delta * delta)[..., None])
+
+    def deform(ori, pert, ker):
+        """tmp_adv = Σ_j (ori + pert_j)·ker_j / Σ_j ker_j as one einsum
+        (replaces the Cn-step Python loop at :170-175)."""
+        deno = jnp.sum(ker, axis=1)                           # [B, N]
+        num = jnp.einsum("bjc,bjn->bnc", pert, ker,
+                         preferred_element_type=jnp.float32)  # [B, N, 3]
+        return ori + num / (deno[..., None])
+
+    def transformation_loss(pert, delta):
+        """(|pert|_F + |1-δ|_2) / Cn per example. Parity :306-316."""
+        t = jnp.sqrt(jnp.sum(pert ** 2, axis=(1, 2)) + 1e-12)
+        t = t + jnp.sqrt(jnp.sum((1.0 - delta) ** 2, axis=1) + 1e-12)
+        return t / Cn
+
+    def curv_std_loss(delta, central_kappa_std):
+        """cos-sim between normalized δ and central curvature-std.
+        Parity :341-346 (global min/max on the std, range-norm on δ)."""
+        ks = central_kappa_std[..., 0]                        # [B, Cn]
+        norm_std = _global_minmax_norm(ks)
+        norm_delta = (delta - cfg.min_sigm) / (cfg.max_sigm
+                                               - cfg.min_sigm + 1e-7)
+        num = jnp.sum(norm_std * norm_delta, axis=1)
+        den = (jnp.linalg.norm(norm_std, axis=1)
+               * jnp.linalg.norm(norm_delta, axis=1))
+        # torch cosine_similarity clamps the denominator at eps=1e-8
+        return num / jnp.maximum(den, 1e-8)
+
+    @jax.jit
+    def attack(points, labels, key) -> AttackResult:
+        ori = points[..., :3]
+        normal = points[..., 3:6]
+        B, N = ori.shape[0], ori.shape[1]
+        k = cfg.curv_loss_knn
+
+        # ---- stage 1: scoring (:61-72) --------------------------------
+        ori_kappa_std = get_kappa_std(ori, normal, k=k)       # [B, N]
+        grad = jax.grad(
+            lambda x: jnp.mean(cross_entropy_loss(logits_fn(x),
+                                                  labels)))(ori)
+        center = G.median_points(ori, axis=1)                 # [B, 3]
+        offset = ori - center[:, None, :]
+        r = jnp.sqrt(jnp.sum(offset ** 2, axis=-1))           # [B, N]
+        saliency = -(r ** cfg.alpha) * jnp.sum(offset * grad, axis=-1)
+        score = (0.001 * _global_minmax_norm(saliency)
+                 + _global_minmax_norm(ori_kappa_std))        # [B, N]
+
+        # ---- stage 2: central point selection (:74-93) ----------------
+        key, fps_key = jax.random.split(key)
+        far_idx = G.farthest_point_sample(ori, cfg.total_central_num,
+                                          key=fps_key)
+        far_points = G.index_points(ori, far_idx)             # [B, Tc, 3]
+        far_knn = G.knn_points(far_points, ori, k + 1)        # idx [B,Tc,k+1]
+        far_knn_points = G.index_points(ori, far_knn.idx)     # [B,Tc,k+1,3]
+        far_knn_score = jnp.take_along_axis(
+            score[:, None, :].repeat(far_knn.idx.shape[1], axis=1),
+            far_knn.idx, axis=2)                              # [B,Tc,k+1]
+        ring_best = jnp.argmax(far_knn_score, axis=2)         # [B, Tc]
+        tc_points = jnp.take_along_axis(
+            far_knn_points, ring_best[..., None, None].repeat(3, -1),
+            axis=2)[:, :, 0, :]                               # [B, Tc, 3]
+        tc_score = jnp.take_along_axis(far_knn_score,
+                                       ring_best[..., None],
+                                       axis=2)[..., 0]        # [B, Tc]
+        _, tmp_idx = lax.top_k(tc_score, Cn)                  # [B, Cn]
+        central_points = G.index_points(tc_points, tmp_idx)   # [B, Cn, 3]
+
+        # central curvature-std for the hide loss (:118-123 — gathers
+        # ori_kappa, the reference's naming notwithstanding)
+        ori_kappa = get_kappa(ori, normal, k=k)               # [B, N]
+        far_kappa = jnp.take_along_axis(
+            ori_kappa[:, None, :].repeat(far_knn.idx.shape[1], axis=1),
+            far_knn.idx, axis=2)                              # [B,Tc,k+1]
+        tc_kappa = jnp.take_along_axis(far_kappa, ring_best[..., None],
+                                       axis=2)                # [B, Tc, 1]
+        central_kappa_std = G.index_points(tc_kappa, tmp_idx)  # [B, Cn, 1]
+
+        # ---- stage 3: binary search over scale_const (:125-275) -------
+        def inner_iter(carry, _):
+            (pert, delta, opt_p, opt_d, weight, bestdist, bestscore,
+             o_bestdist, o_bestscore, o_bestattack) = carry
+
+            # projection at iteration start (:164-166)
+            pert = jnp.clip(pert, -cfg.budget, cfg.budget)
+            delta = jnp.clip(delta, cfg.min_sigm, cfg.max_sigm)
+
+            def loss_fn(pert, delta):
+                ker = kernel_density(central_points, ori, delta)
+                tmp_adv = deform(ori, pert, ker)
+                logits = logits_fn(tmp_adv)
+                adv_loss = jnp.mean(adv_fn(logits, labels))
+
+                dist_loss = 0.0
+                if cfg.cd_weight != 0:
+                    dist_loss = dist_loss + jnp.mean(
+                        chamfer_dist(tmp_adv, ori) * cfg.cd_weight)
+                if cfg.ker_weight != 0:
+                    dist_loss = dist_loss + jnp.mean(
+                        transformation_loss(pert, delta)) * cfg.ker_weight
+                if cfg.hide_weight != 0:
+                    dist_loss = dist_loss + jnp.mean(
+                        curv_std_loss(delta, central_kappa_std)
+                        * cfg.hide_weight)
+                # loss.mean() couples scale_const as its batch mean (:242-245)
+                total = adv_loss + jnp.mean(weight) * dist_loss
+                return total, (tmp_adv, logits)
+
+            (_, (tmp_adv, logits)), grads = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(pert, delta)
+            g_pert, g_delta = grads
+            pred = jnp.argmax(logits, axis=-1)
+
+            # bookkeeping (:195-217): dist = per-example transformation
+            dist_val = transformation_loss(pert, delta)
+            ok = pred != labels
+            better = ok & (dist_val < bestdist)
+            bestdist = jnp.where(better, dist_val, bestdist)
+            bestscore = jnp.where(better, pred, bestscore)
+            o_better = ok & (dist_val < o_bestdist)
+            o_bestdist = jnp.where(o_better, dist_val, o_bestdist)
+            o_bestscore = jnp.where(o_better, pred, o_bestscore)
+            o_bestattack = jnp.where(o_better[:, None, None], tmp_adv,
+                                     o_bestattack)
+
+            # two Adam groups: pert lr·5, delta lr·3 (:142-145)
+            pert, opt_p = adam_update(g_pert, opt_p, pert,
+                                      cfg.attack_lr * 5.0)
+            delta, opt_d = adam_update(g_delta, opt_d, delta,
+                                       cfg.attack_lr * 3.0)
+            return (pert, delta, opt_p, opt_d, weight, bestdist,
+                    bestscore, o_bestdist, o_bestscore, o_bestattack), \
+                (tmp_adv, dist_val)
+
+        def binary_step(carry, step_key):
+            (lower, upper, weight, o_bestdist, o_bestscore, o_bestattack,
+             _, __) = carry
+            kp, kd = jax.random.split(step_key)
+            pert0 = jax.random.uniform(kp, (B, Cn, 3)) * cfg.budget
+            delta0 = (cfg.min_sigm + jax.random.uniform(kd, (B, Cn))
+                      * (cfg.max_sigm - cfg.min_sigm))
+
+            inner0 = (pert0, delta0, adam_init(pert0), adam_init(delta0),
+                      weight, jnp.full((B,), 1e10),
+                      jnp.full((B,), -1, jnp.int32),
+                      o_bestdist, o_bestscore, o_bestattack)
+            (pert, delta, _, _, _, bestdist, bestscore, o_bestdist,
+             o_bestscore, o_bestattack), (advs, dists) = lax.scan(
+                inner_iter, inner0, None, length=cfg.num_iter)
+
+            # weight update (:264-273)
+            found = (bestscore != labels) & (bestscore != -1) \
+                & (bestdist <= o_bestdist)
+            lower = jnp.where(found, jnp.maximum(lower, weight), lower)
+            upper = jnp.where(found, upper, jnp.minimum(upper, weight))
+            weight = (lower + upper) / 2.0
+            return (lower, upper, weight, o_bestdist, o_bestscore,
+                    o_bestattack, advs[-1], dists[-1]), ()
+
+        step_keys = jax.random.split(key, cfg.binary_step)
+        init = (jnp.zeros((B,)), jnp.full((B,), cfg.max_weight),
+                jnp.full((B,), cfg.init_weight),
+                jnp.full((B,), 1e10), jnp.full((B,), -1, jnp.int32),
+                jnp.zeros_like(ori), jnp.zeros_like(ori),
+                jnp.zeros((B,)))
+        (lower, _, _, o_bestdist, _, o_bestattack, last_adv,
+         last_dist), _ = lax.scan(binary_step, init, step_keys)
+
+        # failure fallback to last iterate (:278-282)
+        success = lower > 0.0
+        adv_final = jnp.where(success[:, None, None], o_bestattack,
+                              last_adv)
+        pred = jnp.argmax(logits_fn(adv_final), axis=-1)
+        return AttackResult(adv_points=adv_final, success=success,
+                            pred=pred)
+
+    return attack

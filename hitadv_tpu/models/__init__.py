@@ -8,11 +8,21 @@ and ``apply(params, x) -> logits`` with ``x: [B, N, C]`` channels-last.
 
 from typing import Any, Callable, Dict, Tuple
 
-from hitadv_tpu.models import pointnet  # noqa: F401
+from hitadv_tpu.models import (  # noqa: F401
+    dgcnn,
+    pct,
+    pointconv,
+    pointnet,
+    pointnet2,
+)
 
 # name -> (init, apply); extended as model families land.
 _REGISTRY: Dict[str, Tuple[Callable, Callable]] = {
     "pointnet": (pointnet.init, pointnet.apply),
+    "pointnet++": (pointnet2.init, pointnet2.apply),
+    "dgcnn": (dgcnn.init, dgcnn.apply),
+    "pct": (pct.init, pct.apply),
+    "pointconv": (pointconv.init, pointconv.apply),
 }
 
 

@@ -1,0 +1,105 @@
+"""DGCNN classifier — functional JAX.
+
+Parity surface: reference `model/dgcnn_cls.py`: four EdgeConv blocks
+(dynamic kNN graph in feature space, ``concat(x_j - x_i, x_i)`` edge
+features, 1x1 conv + BN + LeakyReLU(0.2), max over neighbors), 1024-d
+embedding conv, global max+avg pool concat, and a 512/256/num_classes
+head. The eval config of record uses k=5 (`eval.py:48`); the
+architecture default is k=20 (`model/dgcnn_cls.py:17`).
+
+The kNN here *includes self* and takes plain top-k of negative squared
+distance (`model/dgcnn_cls.py:7-13`) — unlike the attack-side kNN ops
+which drop self. Don't "fix" this: checkpoint parity depends on it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from hitadv_tpu.nn import functional as F
+from hitadv_tpu.ops import geometry as G
+
+
+@dataclass(frozen=True)
+class DGCNNConfig:
+    k: int = 20
+    emb_dims: int = 1024
+    dropout: float = 0.2        # identity in eval mode
+
+
+def get_graph_feature(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Edge features over the feature-space kNN graph.
+
+    x: ``[B, N, C]`` -> ``[B, N, k, 2C]`` (= concat(x_j - x_i, x_i)).
+    Parity: `model/dgcnn_cls.py:16-43` (self included in neighbors).
+    """
+    idx = G.knn_points(x, x, k).idx                           # [B, N, k]
+    neighbors = G.index_points(x, idx)                        # [B, N, k, C]
+    center = jnp.broadcast_to(x[:, :, None, :], neighbors.shape)
+    return jnp.concatenate([neighbors - center, center], axis=-1)
+
+
+def init(key: jax.Array, num_classes: int = 40,
+         cfg: DGCNNConfig = DGCNNConfig()) -> Dict:
+    keys = jax.random.split(key, 8)
+    p = {}
+    dims = [(6, 64), (128, 64), (128, 128), (256, 256)]
+    for i, (cin, cout) in enumerate(dims, start=1):
+        p[f"conv{i}"] = F.conv1x1_init(keys[i - 1], cin, cout, bias=False)
+        p[f"bn{i}"] = F.batchnorm_init(cout)
+    p["conv5"] = F.conv1x1_init(keys[4], 512, cfg.emb_dims, bias=False)
+    p["bn5"] = F.batchnorm_init(cfg.emb_dims)
+    p["linear1"] = F.linear_init(keys[5], cfg.emb_dims * 2, 512,
+                                 bias=False)
+    p["bn6"] = F.batchnorm_init(512)
+    p["linear2"] = F.linear_init(keys[6], 512, 256)
+    p["bn7"] = F.batchnorm_init(256)
+    p["linear3"] = F.linear_init(keys[7], 256, num_classes)
+    return p
+
+
+def make_apply(cfg: DGCNNConfig = DGCNNConfig()):
+    def apply(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
+        """x: [B, N, 3] -> logits [B, num_classes]."""
+        feats = []
+        h = x
+        for i in range(1, 5):
+            e = get_graph_feature(h, cfg.k)                   # [B,N,k,2C]
+            e = F.leaky_relu(F.batchnorm(params[f"bn{i}"],
+                                         F.linear(params[f"conv{i}"], e)))
+            h = jnp.max(e, axis=2)                            # [B, N, C']
+            feats.append(h)
+
+        h = jnp.concatenate(feats, axis=-1)                   # [B, N, 512]
+        h = F.leaky_relu(F.batchnorm(params["bn5"],
+                                     F.linear(params["conv5"], h)))
+        gmax = jnp.max(h, axis=1)
+        gavg = jnp.mean(h, axis=1)
+        g = jnp.concatenate([gmax, gavg], axis=-1)            # [B, 2*emb]
+
+        g = F.leaky_relu(F.batchnorm(params["bn6"],
+                                     F.linear(params["linear1"], g)))
+        g = F.leaky_relu(F.batchnorm(params["bn7"],
+                                     F.linear(params["linear2"], g)))
+        return F.linear(params["linear3"], g)
+    return apply
+
+
+apply = make_apply()
+
+
+# torch keys: convN is Sequential(conv2d/1d, bn, leaky) -> ".0"/".1"
+TORCH_SPEC = {
+    **{f"conv{i}": (f"conv{i}.0", "conv") for i in range(1, 6)},
+    **{f"bn{i}": (f"conv{i}.1", "bn") for i in range(1, 6)},
+    "linear1": ("linear1", "linear"),
+    "bn6": ("bn6", "bn"),
+    "linear2": ("linear2", "linear"),
+    "bn7": ("bn7", "bn"),
+    "linear3": ("linear3", "linear"),
+}

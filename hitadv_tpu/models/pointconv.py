@@ -1,0 +1,176 @@
+"""PointConv (density-weighted SSG) classifier — functional JAX.
+
+Parity surface: reference `model/pointconv.py` + `util/pointconv_util.py`
+(PointConvDensitySetAbstraction): per-stage KDE density
+(`compute_density`, :209-219), `DensityNet` scaling (:222-245 — note its
+sigmoid branch is dead code, every layer is relu; reproduced),
+`WeightNet` MLP kernel (:248-275), and the matmul-aggregated continuous
+conv (:334-401). FPS uses the fixed index-0 start
+(`util/pointconv_util.py:78`), grouping is kNN.
+
+Reference signature is ``forward(xyz, feat)`` (the odd one out,
+`model/pointconv.py:31`); here ``apply(params, x, feat=None)`` defaults
+``feat`` to the coordinates.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hitadv_tpu.nn import functional as F
+from hitadv_tpu.ops import geometry as G
+
+
+class PCStage(NamedTuple):
+    npoint: int
+    nsample: Optional[int]
+    mlp: Tuple[int, ...]
+    bandwidth: float
+    group_all: bool
+
+
+STAGES = (
+    PCStage(512, 32, (64, 64, 128), 0.1, False),
+    PCStage(128, 64, (128, 128, 256), 0.2, False),
+    PCStage(1, None, (256, 512, 1024), 0.4, True),
+)
+
+
+def compute_density(xyz: jnp.ndarray, bandwidth: float) -> jnp.ndarray:
+    """KDE density, parity: `util/pointconv_util.py:209-219`. [B, N]."""
+    sq = G.pairwise_distance(xyz)
+    gauss = jnp.exp(-sq / (2.0 * bandwidth * bandwidth)) / (2.5 * bandwidth)
+    return jnp.mean(gauss, axis=-1)
+
+
+def _densitynet_init(key, hidden=(16, 8)):
+    return F.mlp_init(key, [1, *hidden, 1])
+
+
+def _densitynet_apply(p, x):
+    # reference's sigmoid branch is unreachable: relu everywhere
+    return F.mlp_apply(p, x, act=F.relu, last_act=True)
+
+
+def _weightnet_init(key, in_c=3, out_c=16, hidden=(8, 8)):
+    return F.mlp_init(key, [in_c, *hidden, out_c])
+
+
+def _weightnet_apply(p, x):
+    return F.mlp_apply(p, x, act=F.relu, last_act=True)
+
+
+def _stage_init(key, in_channel, stage: PCStage):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "mlp": F.mlp_init(k1, [in_channel] + list(stage.mlp)),
+        "weightnet": _weightnet_init(k2),
+        "densitynet": _densitynet_init(k3),
+        "linear": F.linear_init(k4, 16 * stage.mlp[-1], stage.mlp[-1]),
+        "bn_linear": F.batchnorm_init(stage.mlp[-1]),
+    }
+
+
+def _stage_apply(p, stage: PCStage, xyz, points):
+    """xyz [B,N,3], points [B,N,D] -> (new_xyz [B,S,3], feats [B,S,C'])."""
+    B, N, _ = xyz.shape
+    density = compute_density(xyz, stage.bandwidth)           # [B, N]
+    inv_density = 1.0 / density
+
+    if stage.group_all:
+        new_xyz = jnp.mean(xyz, axis=1, keepdims=True)        # [B, 1, 3]
+        grouped_xyz = xyz[:, None] - new_xyz[:, :, None]      # [B,1,N,3]
+        new_points = jnp.concatenate(
+            [grouped_xyz, points[:, None]], axis=-1)
+        grouped_density = inv_density.reshape(B, 1, N, 1)
+        S = 1
+    else:
+        fps_idx = G.farthest_point_sample(xyz, stage.npoint, start_idx=0)
+        new_xyz = G.index_points(xyz, fps_idx)
+        idx = G.knn_point(stage.nsample, xyz, new_xyz)
+        grouped_xyz = (G.index_points(xyz, idx)
+                       - new_xyz[:, :, None, :])              # [B,S,ns,3]
+        grouped_points = G.index_points(points, idx)
+        new_points = jnp.concatenate([grouped_xyz, grouped_points],
+                                     axis=-1)
+        grouped_density = G.index_points(inv_density[..., None], idx)
+        S = stage.npoint
+
+    h = F.mlp_apply(p["mlp"], new_points)                     # [B,S,ns,C']
+
+    inv_max = jnp.max(grouped_density, axis=2, keepdims=True)
+    density_scale = _densitynet_apply(p["densitynet"],
+                                      grouped_density / inv_max)
+    h = h * density_scale                                     # [B,S,ns,C']
+
+    weights = _weightnet_apply(p["weightnet"], grouped_xyz)   # [B,S,ns,16]
+    agg = jnp.einsum("bsnc,bsnw->bscw", h, weights,
+                     preferred_element_type=jnp.float32)
+    agg = agg.reshape(B, S, -1)                               # [B,S,16*C']
+    out = F.relu(F.batchnorm(p["bn_linear"],
+                             F.linear(p["linear"], agg)))
+    return new_xyz, out
+
+
+def init(key: jax.Array, num_classes: int = 40) -> Dict:
+    keys = jax.random.split(key, 6)
+    return {
+        "sa1": _stage_init(keys[0], 3 + 3, STAGES[0]),
+        "sa2": _stage_init(keys[1], 128 + 3, STAGES[1]),
+        "sa3": _stage_init(keys[2], 256 + 3, STAGES[2]),
+        "fc1": F.linear_init(keys[3], 1024, 512),
+        "bn1": F.batchnorm_init(512),
+        "fc2": F.linear_init(keys[4], 512, 256),
+        "bn2": F.batchnorm_init(256),
+        "fc3": F.linear_init(keys[5], 256, num_classes),
+    }
+
+
+def apply(params: Dict, x: jnp.ndarray,
+          feat: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """x: [B, N, 3]; feat defaults to the coordinates."""
+    xyz = x[..., :3]
+    if feat is None:
+        feat = xyz
+    h_xyz, h = _stage_apply(params["sa1"], STAGES[0], xyz, feat)
+    h_xyz, h = _stage_apply(params["sa2"], STAGES[1], h_xyz, h)
+    _, h = _stage_apply(params["sa3"], STAGES[2], h_xyz, h)
+    g = h[:, 0, :]                                            # [B, 1024]
+    g = F.relu(F.batchnorm(params["bn1"], F.linear(params["fc1"], g)))
+    g = F.relu(F.batchnorm(params["bn2"], F.linear(params["fc2"], g)))
+    return F.linear(params["fc3"], g)
+
+
+def _stage_spec(tp, tr, n_mlp):
+    spec = {}
+    for i in range(n_mlp):
+        spec[f"{tr}/mlp/conv{i}"] = (f"{tp}.mlp_convs.{i}", "conv")
+        spec[f"{tr}/mlp/bn{i}"] = (f"{tp}.mlp_bns.{i}", "bn")
+    for i in range(3):  # weightnet 3->8->8->16
+        spec[f"{tr}/weightnet/conv{i}"] = (
+            f"{tp}.weightnet.mlp_convs.{i}", "conv")
+        spec[f"{tr}/weightnet/bn{i}"] = (
+            f"{tp}.weightnet.mlp_bns.{i}", "bn")
+    for i in range(3):  # densitynet 1->16->8->1
+        spec[f"{tr}/densitynet/conv{i}"] = (
+            f"{tp}.densitynet.mlp_convs.{i}", "conv")
+        spec[f"{tr}/densitynet/bn{i}"] = (
+            f"{tp}.densitynet.mlp_bns.{i}", "bn")
+    spec[f"{tr}/linear"] = (f"{tp}.linear", "linear")
+    spec[f"{tr}/bn_linear"] = (f"{tp}.bn_linear", "bn")
+    return spec
+
+
+TORCH_SPEC = {
+    **_stage_spec("sa1", "sa1", 3),
+    **_stage_spec("sa2", "sa2", 3),
+    **_stage_spec("sa3", "sa3", 3),
+    "fc1": ("fc1", "linear"),
+    "bn1": ("bn1", "bn"),
+    "fc2": ("fc2", "linear"),
+    "bn2": ("bn2", "bn"),
+    "fc3": ("fc3", "linear"),
+}

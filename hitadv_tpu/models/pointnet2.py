@@ -1,0 +1,120 @@
+"""PointNet++ SSG classifier — functional JAX.
+
+Parity surface: reference `model/pointnet2_cls_ssg.py` +
+`model/pointnet2_utils.py:162-203` (PointNetSetAbstraction): three SA
+stages (512/0.2/32 → 128/0.4/64 → group_all) of shared-MLP + max-pool over
+ball-query groups, then a 512/256/num_classes head. Returns logits (the
+reference returns ``(logits, l3_points)``; use `apply_full` for both).
+
+FPS start convention: the reference model path uses a *random* first
+point (`model/pointnet2_utils.py:76`). Pass ``key`` for that behavior;
+default is the deterministic index-0 start (the CUDA-kernel convention),
+which keeps eval runs reproducible.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hitadv_tpu.nn import functional as F
+from hitadv_tpu.ops import geometry as G
+
+
+class SAConfig(NamedTuple):
+    npoint: Optional[int]
+    radius: Optional[float]
+    nsample: Optional[int]
+    mlp: Tuple[int, ...]
+    group_all: bool
+
+
+SSG_STAGES = (
+    SAConfig(512, 0.2, 32, (64, 64, 128), False),
+    SAConfig(128, 0.4, 64, (128, 128, 256), False),
+    SAConfig(None, None, None, (256, 512, 1024), True),
+)
+
+
+def _sa_init(key: jax.Array, in_channel: int, mlp: Sequence[int]) -> Dict:
+    return F.mlp_init(key, [in_channel] + list(mlp))
+
+
+def _sa_apply(params: Dict, cfg: SAConfig, xyz: jnp.ndarray,
+              points: Optional[jnp.ndarray],
+              key: Optional[jax.Array]):
+    """One set-abstraction stage. xyz [B,N,3], points [B,N,D] or None."""
+    if cfg.group_all:
+        new_xyz, new_points = G.sample_and_group_all(xyz, points)
+    else:
+        new_xyz, new_points = G.sample_and_group(
+            cfg.npoint, cfg.radius, cfg.nsample, xyz, points, key=key)
+    # new_points: [B, S, ns, C+D] -> shared MLP over last dim + max over ns
+    h = F.mlp_apply(params, new_points)
+    return new_xyz, jnp.max(h, axis=2)                        # [B, S, C']
+
+
+def init(key: jax.Array, num_classes: int = 40,
+         normal_channel: bool = False) -> Dict:
+    in_channel = 6 if normal_channel else 3
+    keys = jax.random.split(key, 6)
+    p = {
+        "sa1": _sa_init(keys[0], in_channel, SSG_STAGES[0].mlp),
+        "sa2": _sa_init(keys[1], 128 + 3, SSG_STAGES[1].mlp),
+        "sa3": _sa_init(keys[2], 256 + 3, SSG_STAGES[2].mlp),
+        "fc1": F.linear_init(keys[3], 1024, 512),
+        "bn1": F.batchnorm_init(512),
+        "fc2": F.linear_init(keys[4], 512, 256),
+        "bn2": F.batchnorm_init(256),
+        "fc3": F.linear_init(keys[5], 256, num_classes),
+    }
+    return p
+
+
+def apply_full(params: Dict, x: jnp.ndarray,
+               key: Optional[jax.Array] = None):
+    """x: [B, N, C] (C=3, or 6 with normals as extra features)."""
+    xyz = x[..., :3]
+    feats = x[..., 3:] if x.shape[-1] > 3 else None
+    k1 = k2 = None
+    if key is not None:
+        k1, k2 = jax.random.split(key)
+    l1_xyz, l1_points = _sa_apply(params["sa1"], SSG_STAGES[0], xyz,
+                                  feats, k1)
+    l2_xyz, l2_points = _sa_apply(params["sa2"], SSG_STAGES[1], l1_xyz,
+                                  l1_points, k2)
+    _, l3_points = _sa_apply(params["sa3"], SSG_STAGES[2], l2_xyz,
+                             l2_points, None)
+    g = l3_points[:, 0, :]                                    # [B, 1024]
+    g = F.relu(F.batchnorm(params["bn1"], F.linear(params["fc1"], g)))
+    g = F.relu(F.batchnorm(params["bn2"], F.linear(params["fc2"], g)))
+    logits = F.linear(params["fc3"], g)
+    return logits, l3_points
+
+
+def apply(params: Dict, x: jnp.ndarray,
+          key: Optional[jax.Array] = None) -> jnp.ndarray:
+    return apply_full(params, x, key)[0]
+
+
+def _sa_spec(torch_prefix: str, tree_prefix: str, n_layers: int):
+    spec = {}
+    for i in range(n_layers):
+        spec[f"{tree_prefix}/conv{i}"] = (
+            f"{torch_prefix}.mlp_convs.{i}", "conv")
+        spec[f"{tree_prefix}/bn{i}"] = (f"{torch_prefix}.mlp_bns.{i}", "bn")
+    return spec
+
+
+TORCH_SPEC = {
+    **_sa_spec("sa1", "sa1", 3),
+    **_sa_spec("sa2", "sa2", 3),
+    **_sa_spec("sa3", "sa3", 3),
+    "fc1": ("fc1", "linear"),
+    "bn1": ("bn1", "bn"),
+    "fc2": ("fc2", "linear"),
+    "bn2": ("bn2", "bn"),
+    "fc3": ("fc3", "linear"),
+}
