@@ -24,4 +24,18 @@ from hitadv_tpu.attacks.fgm import (  # noqa: F401
     make_mifgsm,
     make_pgd,
 )
-# Attack families below are appended as they land (build plan SURVEY.md §7).
+from hitadv_tpu.attacks.cw import (  # noqa: F401
+    CWConfig,
+    CWKNNConfig,
+    make_cw_knn,
+    make_cw_perturb,
+)
+from hitadv_tpu.attacks.hit_adv import HiTADVConfig, make_hit_adv  # noqa: F401
+from hitadv_tpu.attacks.aof import AOFConfig, make_aof  # noqa: F401
+from hitadv_tpu.attacks.advpc import AdvPCConfig, make_advpc  # noqa: F401
+from hitadv_tpu.attacks.drop import (  # noqa: F401
+    DropConfig,
+    make_saliency_drop,
+    make_sat_forward,
+)
+# Add-point attacks land next (build plan SURVEY.md §7 stage 8).

@@ -1,0 +1,107 @@
+"""AdvPC attacks: autoencoder-regularized CW perturbation.
+
+Parity surface: `CW/AdvPC.py:10-180` (targeted) and `CW/UAdvPC.py:10-167`
+(untargeted): per iteration two margin losses — on the adversarial cloud
+and on its AE reconstruction — GAMMA-mixed; clip each step; best-result
+bookkeeping with the AdvPC success senses:
+  * targeted (`CW/AdvPC.py:142`): pred == target ∧ ae_pred != y_truth;
+  * untargeted (`CW/UAdvPC.py:111,129`): pred != label ∧ ae_pred != label.
+The binary_step loop is restarts (no weight schedule), like AOF.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from hitadv_tpu.attacks.base import AttackResult, adam_init, adam_update
+
+
+@dataclass(frozen=True)
+class AdvPCConfig:
+    """Defaults of `CW/AdvPC.py:15-16`."""
+    attack_lr: float = 1e-2
+    binary_step: int = 2
+    num_iter: int = 200
+    gamma: float = 0.5
+    targeted: bool = False
+
+
+def make_advpc(logits_fn: Callable, ae_fn: Callable, adv_fn: Callable,
+               clip_fn: Callable,
+               cfg: AdvPCConfig = AdvPCConfig()):
+    """Build the jitted AdvPC attack.
+
+    Args:
+      logits_fn: victim ``[B, N, 3] -> [B, C]``.
+      ae_fn: autoencoder ``[B, N, 3] -> [B, N, 3]``.
+      adv_fn: per-example margin loss (matching cfg.targeted).
+      clip_fn: ``(adv, ori) -> adv``.
+    The targeted variant takes true labels via ``y_truth``.
+    """
+    @jax.jit
+    def attack(points, labels, key,
+               y_truth: Optional[jnp.ndarray] = None) -> AttackResult:
+        ori = points[..., :3]
+        B = ori.shape[0]
+        truth = labels if y_truth is None else y_truth
+
+        def restart(carry, step_key):
+            o_bestdist, o_bestscore, o_bestattack, _ = carry
+            adv0 = ori + jax.random.normal(step_key, ori.shape) * 1e-7
+
+            def inner(carry, _):
+                adv, opt, o_bestdist, o_bestscore, o_bestattack = carry
+
+                def loss_fn(adv):
+                    l = (1.0 - cfg.gamma) * jnp.mean(
+                        adv_fn(logits_fn(adv), labels))
+                    l = l + cfg.gamma * jnp.mean(
+                        adv_fn(logits_fn(ae_fn(adv)), labels))
+                    return l
+
+                grad = jax.grad(loss_fn)(adv)
+                adv, opt = adam_update(grad, opt, adv, cfg.attack_lr)
+                adv = clip_fn(adv, ori)
+
+                pred = jnp.argmax(logits_fn(adv), axis=-1)
+                ae_pred = jnp.argmax(logits_fn(ae_fn(adv)), axis=-1)
+                dist = jnp.sqrt(jnp.sum((adv - ori) ** 2, axis=(1, 2)))
+                if cfg.targeted:
+                    ok = (pred == labels) & (ae_pred != truth)
+                else:
+                    ok = (pred != labels) & (ae_pred != labels)
+                better = ok & (dist < o_bestdist)
+                o_bestdist = jnp.where(better, dist, o_bestdist)
+                o_bestscore = jnp.where(better, pred, o_bestscore)
+                o_bestattack = jnp.where(better[:, None, None], adv,
+                                         o_bestattack)
+                return (adv, opt, o_bestdist, o_bestscore,
+                        o_bestattack), ()
+
+            (adv, _, o_bestdist, o_bestscore, o_bestattack), _ = lax.scan(
+                inner, (adv0, adam_init(adv0), o_bestdist, o_bestscore,
+                        o_bestattack), None, length=cfg.num_iter)
+            return (o_bestdist, o_bestscore, o_bestattack, adv), ()
+
+        step_keys = jax.random.split(key, cfg.binary_step)
+        init = (jnp.full((B,), 1e10), jnp.full((B,), -1, jnp.int32),
+                jnp.zeros_like(ori), jnp.zeros_like(ori))
+        (o_bestdist, o_bestscore, o_bestattack, last_adv), _ = lax.scan(
+            restart, init, step_keys)
+
+        found = o_bestscore >= 0
+        adv_final = jnp.where(found[:, None, None], o_bestattack,
+                              last_adv)
+        adv_final = clip_fn(adv_final, ori)
+        pred = jnp.argmax(logits_fn(adv_final), axis=-1)
+        success = ((pred == labels) if cfg.targeted
+                   else (pred != labels))
+        return AttackResult(adv_points=adv_final, success=success,
+                            pred=pred)
+
+    return attack
