@@ -38,4 +38,12 @@ from hitadv_tpu.attacks.drop import (  # noqa: F401
     make_saliency_drop,
     make_sat_forward,
 )
-# Add-point attacks land next (build plan SURVEY.md §7 stage 8).
+from hitadv_tpu.attacks.add import (  # noqa: F401
+    AddClusterConfig,
+    AddConfig,
+    AddObjectConfig,
+    get_critical_points,
+    make_cw_add,
+    make_cw_add_clusters,
+    make_cw_add_objects,
+)
