@@ -1,0 +1,232 @@
+"""Attack-evaluation driver: ``python -m hitadv_tpu.eval``.
+
+Parity surface: `eval.py:21-135` — build victim + dataset + attacker,
+run eval_ASR. Differences by design: one typed config (config.py), a
+name-indexed attack registry covering all ~20 engines (the reference
+hard-wires HiT-ADV), a `--dataset synthetic` mode for data-free smoke
+runs, and mesh sharding via `--n_devices`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+from typing import Callable, Optional
+
+import numpy as np
+
+from hitadv_tpu.config import EvalConfig, add_config_flags, config_from_args
+
+
+def build_model(cfg: EvalConfig):
+    """Victim construction + checkpoint load (`eval.py:105-124`)."""
+    import jax
+    from hitadv_tpu import models
+    from hitadv_tpu.utils import checkpoint as ckpt
+
+    init, apply = models.get_model(cfg.model)
+    if cfg.checkpoint:
+        if cfg.checkpoint.endswith((".pkl", ".pickle")):
+            params = ckpt.load_params(cfg.checkpoint)
+        else:
+            mod = {
+                "pointnet": models.pointnet,
+                "pointnet++": models.pointnet2,
+                "dgcnn": models.dgcnn,
+                "pct": models.pct,
+                "pointconv": models.pointconv,
+            }[cfg.model]
+            sd = ckpt.load_torch_state_dict(cfg.checkpoint)
+            params = ckpt.convert_state_dict(sd, mod.TORCH_SPEC)
+    else:
+        params = init(jax.random.PRNGKey(cfg.seed))
+
+    if cfg.model == "dgcnn":
+        from hitadv_tpu.models import dgcnn
+        apply = dgcnn.make_apply(dgcnn.DGCNNConfig(k=cfg.k,
+                                                   emb_dims=cfg.emb_dims))
+    return params, (lambda x: apply(params, x))
+
+
+def build_attack(cfg: EvalConfig, logits_fn: Callable,
+                 ae_fn: Optional[Callable] = None) -> Callable:
+    """Name-indexed attack registry (SURVEY.md §2.5 table).
+
+    Returns ``attack(points [B, N, C], labels, key) -> AttackResult``
+    operating on xyz (normals consumed where the attack needs them).
+    """
+    from hitadv_tpu import attacks, losses
+    from hitadv_tpu.attacks import base
+
+    name = cfg.attack_type.lower().replace("_", "-")
+    untargeted_margin = base.make_adv_fn("logits", cfg.kappa,
+                                         targeted=False)
+    targeted_margin = base.make_adv_fn("logits", cfg.kappa, targeted=True)
+    ce = base.make_adv_fn(cfg.adv_func, cfg.kappa, targeted=False)
+
+    fgm_cfg = attacks.fgm.FGMConfig(
+        budget=cfg.budget, num_iter=cfg.num_iter,
+        step_size=cfg.step_size, mu=cfg.mu)
+    cw_cfg = attacks.CWConfig(
+        attack_lr=cfg.attack_lr, init_weight=cfg.init_weight,
+        max_weight=cfg.max_weight, binary_step=cfg.binary_step,
+        num_iter=cfg.num_iter)
+
+    def xyz_only(attack):
+        return lambda pts, labels, key: attack(pts[..., :3], labels, key)
+
+    if name == "hit-adv":
+        hit_cfg = attacks.HiTADVConfig(
+            attack_lr=cfg.attack_lr, binary_step=cfg.binary_step,
+            num_iter=cfg.num_iter, cd_weight=cfg.cd_weight,
+            ker_weight=cfg.ker_weight, hide_weight=cfg.hide_weight,
+            curv_loss_knn=cfg.curv_loss_knn, central_num=cfg.central_num,
+            total_central_num=cfg.total_central_num,
+            max_sigm=cfg.max_sigm, min_sigm=cfg.min_sigm,
+            budget=cfg.budget)
+        return attacks.make_hit_adv(logits_fn, untargeted_margin, hit_cfg)
+
+    if name == "fgsm":
+        return xyz_only(attacks.make_fgsm(logits_fn, ce, fgm_cfg))
+    if name == "ifgsm":
+        return xyz_only(attacks.make_ifgsm(logits_fn, ce, fgm_cfg))
+    if name == "mifgsm":
+        return xyz_only(attacks.make_mifgsm(logits_fn, ce, fgm_cfg))
+    if name == "pgd":
+        return xyz_only(attacks.make_pgd(logits_fn, ce, fgm_cfg))
+    if name == "fgsm-rs":
+        return xyz_only(attacks.make_fgsm_rs(logits_fn, ce, fgm_cfg))
+    if name == "fgm-l2":
+        return xyz_only(attacks.make_fgm_l2(logits_fn, ce, fgm_cfg))
+    if name == "ifgm-l2":
+        return xyz_only(attacks.make_ifgm_l2(logits_fn, ce, fgm_cfg))
+
+    if name in ("cw-perturb", "cw-perturbt"):
+        tc = attacks.CWConfig(**{**cw_cfg.__dict__, "targeted": True})
+        return xyz_only(attacks.make_cw_perturb(logits_fn,
+                                                targeted_margin, cfg=tc))
+    if name == "cw-uperturb":
+        uc = attacks.CWConfig(**{**cw_cfg.__dict__, "targeted": False})
+        return xyz_only(attacks.make_cw_perturb(
+            logits_fn, untargeted_margin, cfg=uc))
+    if name in ("cw-knn", "cw-uknn"):
+        targeted = name == "cw-knn"
+        adv = targeted_margin if targeted else untargeted_margin
+
+        def clip_fn(adv_pc, ori, normal):
+            return losses.project_inner_clip_linf(adv_pc, ori,
+                                                  cfg.budget, normal)
+
+        return attacks.make_cw_knn(
+            logits_fn, adv,
+            dist_fn=functools.partial(losses.chamfer_knn_dist),
+            clip_fn=clip_fn,
+            cfg=attacks.CWKNNConfig(targeted=targeted))
+
+    linf_clip = lambda a, o: losses.clip_points_linf(a, o, cfg.budget)  # noqa: E731
+    if name in ("aof", "taof", "uaeaof"):
+        mode = {"aof": "untargeted", "taof": "targeted",
+                "uaeaof": "ae_untargeted"}[name]
+        adv = targeted_margin if mode == "targeted" else untargeted_margin
+        aof_cfg = attacks.AOFConfig(
+            attack_lr=cfg.attack_lr, num_iter=cfg.num_iter, mode=mode)
+        if mode == "ae_untargeted" and ae_fn is None:
+            ae_fn = _default_ae(cfg)
+        return xyz_only(attacks.make_aof(logits_fn, adv, linf_clip,
+                                         aof_cfg, ae_fn=ae_fn))
+    if name in ("advpc", "uadvpc"):
+        targeted = name == "advpc"
+        adv = targeted_margin if targeted else untargeted_margin
+        if ae_fn is None:
+            ae_fn = _default_ae(cfg)
+        return xyz_only(attacks.make_advpc(
+            logits_fn, ae_fn, adv, linf_clip,
+            attacks.AdvPCConfig(attack_lr=cfg.attack_lr,
+                                num_iter=cfg.num_iter,
+                                targeted=targeted)))
+
+    if name == "add":
+        return xyz_only(attacks.make_cw_add(
+            logits_fn, targeted_margin,
+            cfg=attacks.AddConfig(num_iter=cfg.num_iter,
+                                  binary_step=cfg.binary_step)))
+    if name == "add-cluster":
+        return attacks.make_cw_add_clusters(
+            logits_fn, targeted_margin,
+            cfg=attacks.AddClusterConfig(num_iter=cfg.num_iter))
+    if name == "add-object":
+        return attacks.make_cw_add_objects(
+            logits_fn, targeted_margin,
+            cfg=attacks.AddObjectConfig(num_iter=cfg.num_iter))
+
+    if name == "drop":
+        return attacks.make_saliency_drop(
+            logits_fn, attacks.DropConfig(num_drop=200, k=cfg.k))
+
+    raise ValueError(f"unknown attack_type {cfg.attack_type!r}")
+
+
+def _default_ae(cfg: EvalConfig):
+    """Randomly initialized AE fallback (the reference's pretrained AE is
+    distributed out-of-band)."""
+    import jax
+    from hitadv_tpu.models import autoencoder
+
+    params = autoencoder.init(jax.random.PRNGKey(cfg.seed),
+                              num_points=cfg.num_point)
+    return lambda x: autoencoder.apply(params, x)
+
+
+def build_batches(cfg: EvalConfig):
+    from hitadv_tpu import data
+
+    if cfg.dataset == "synthetic" or cfg.data_path is None:
+        n_batches = max(1, cfg.synthetic_size // cfg.batch_size)
+        return data.synthetic_batches(n_batches, cfg.batch_size,
+                                      cfg.num_point, cfg.num_class,
+                                      seed=cfg.seed)
+    if cfg.dataset == "ModelNet":
+        ds = data.ModelNetDataset(
+            cfg.data_path, num_points=cfg.num_point, split="test",
+            use_normals=cfg.use_normals, num_category=cfg.num_category,
+            uniform=cfg.use_uniform_sample,
+            process_data=cfg.process_data)
+    elif cfg.dataset == "ShapeNetPart":
+        ds = data.PartNormalDataset(cfg.data_path, npoints=cfg.num_point,
+                                    split="test", normal_channel=True)
+    else:
+        raise ValueError(cfg.dataset)
+    return data.batch_iterator(ds, cfg.batch_size, shuffle=False,
+                               num_workers=cfg.num_workers)
+
+
+def main(argv=None) -> dict:
+    import itertools
+
+    import jax
+    from hitadv_tpu.evaluation import eval_asr
+    from hitadv_tpu.parallel import make_mesh, shard_attack
+
+    parser = argparse.ArgumentParser("hitadv_tpu eval")
+    add_config_flags(parser)
+    args = parser.parse_args(argv)
+    cfg = config_from_args(args)
+
+    _, logits_fn = build_model(cfg)
+    attack = build_attack(cfg, logits_fn)
+    if cfg.n_devices and cfg.n_devices > 1:
+        attack = shard_attack(attack, make_mesh(cfg.n_devices))
+
+    batches = build_batches(cfg)
+    if cfg.max_batches:
+        batches = itertools.islice(batches, cfg.max_batches)
+
+    metrics = eval_asr(logits_fn, attack, batches,
+                       key=jax.random.PRNGKey(cfg.seed),
+                       uniform_k=cfg.k, log_dir=cfg.log_dir)
+    print({k: round(float(v), 6) for k, v in metrics.items()})
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

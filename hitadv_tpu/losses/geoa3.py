@@ -153,7 +153,10 @@ def uniform_loss(adv_pc: jnp.ndarray,
         idx = G.query_ball_point(r, nsample, adv_pc, new_xyz)
         grouped = G.index_points(adv_pc, idx)                 # [B,S,ns,3]
         flat = grouped.reshape(B * npoint, nsample, 3)
-        knn = G.knn_points(flat, flat, k + 1)
+        # clamp k at the group size (small-N guard; the reference
+        # crashes below N~400 where nsample < k+1)
+        kk = min(k + 1, nsample)
+        knn = G.knn_points(flat, flat, kk)
         d = jnp.sqrt(jnp.abs(knn.dists[..., 1:]) + 1e-12)
         ud = jnp.mean(d, axis=-1)                             # [B*S, ns]
         ud = ((ud - expect_len) ** 2) / (expect_len + 1e-12)

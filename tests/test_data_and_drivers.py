@@ -1,0 +1,191 @@
+"""Data layer + CLI driver tests."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hitadv_tpu import data
+from hitadv_tpu.data import provider
+
+
+class TestProvider:
+    def test_normalize(self, rng):
+        pc = rng.randn(2, 64, 3).astype(np.float32) * 5 + 3
+        out = provider.normalize_data(pc)
+        for b in range(2):
+            np.testing.assert_allclose(out[b].mean(0), 0, atol=1e-5)
+            assert abs(np.linalg.norm(out[b], axis=1).max() - 1) < 1e-5
+
+    def test_rotations_preserve_norms(self, rng):
+        pc = rng.randn(2, 64, 3).astype(np.float32)
+        r = np.random.RandomState(0)
+        for fn in (provider.rotate_point_cloud,
+                   provider.rotate_point_cloud_z,
+                   provider.rotate_perturbation_point_cloud):
+            out = fn(pc, rng=r)
+            np.testing.assert_allclose(np.linalg.norm(out, axis=-1),
+                                       np.linalg.norm(pc, axis=-1),
+                                       atol=1e-4)
+
+    def test_rotate_with_normal_consistent(self, rng):
+        pc = rng.randn(2, 64, 6).astype(np.float32)
+        out = provider.rotate_point_cloud_with_normal(
+            pc, rng=np.random.RandomState(1))
+        # dot(xyz, normal) is rotation invariant
+        dot_in = np.sum(pc[..., :3] * pc[..., 3:6], -1)
+        dot_out = np.sum(out[..., :3] * out[..., 3:6], -1)
+        np.testing.assert_allclose(dot_in, dot_out, atol=1e-4)
+
+    def test_jitter_clip(self, rng):
+        pc = np.zeros((1, 64, 3), np.float32)
+        out = provider.jitter_point_cloud(pc, sigma=1.0, clip=0.05,
+                                          rng=np.random.RandomState(0))
+        assert np.abs(out).max() <= 0.05
+
+    def test_dropout_replaces_with_first(self, rng):
+        pc = rng.randn(1, 64, 3).astype(np.float32)
+        out = provider.random_point_dropout(
+            pc, rng=np.random.RandomState(3))
+        changed = ~np.all(out[0] == pc[0], axis=1)
+        if changed.any():
+            np.testing.assert_array_equal(out[0][changed],
+                                          np.tile(pc[0, 0],
+                                                  (changed.sum(), 1)))
+
+    def test_scale_and_shift_shapes(self, rng):
+        pc = rng.randn(2, 32, 3).astype(np.float32)
+        assert provider.random_scale_point_cloud(pc).shape == pc.shape
+        assert provider.shift_point_cloud(pc).shape == pc.shape
+
+
+class TestModelNetTxt:
+    @pytest.fixture
+    def fake_root(self, tmp_path, rng):
+        root = tmp_path / "mn"
+        root.mkdir()
+        names = ["airplane", "chair"]
+        (root / "modelnet40_shape_names.txt").write_text(
+            "\n".join(names) + "\n")
+        ids = []
+        for name in names:
+            (root / name).mkdir()
+            for i in range(2):
+                sid = f"{name}_{i:04d}"
+                ids.append(sid)
+                pts = rng.randn(2000, 6).astype(np.float32)
+                np.savetxt(root / name / f"{sid}.txt", pts,
+                           delimiter=",", fmt="%.6f")
+        (root / "modelnet40_test.txt").write_text("\n".join(ids) + "\n")
+        (root / "modelnet40_train.txt").write_text("")
+        return str(root)
+
+    def test_load_and_normalize(self, fake_root):
+        ds = data.ModelNetDataset(fake_root, num_points=256,
+                                  split="test", use_normals=True)
+        assert len(ds) == 4
+        pts, label = ds[0]
+        assert pts.shape == (256, 6)
+        assert label in (0, 1)
+        # unit-sphere normalized xyz
+        assert abs(np.linalg.norm(pts[:, :3], axis=1).max() - 1.0) < 1e-5
+
+    def test_uniform_fps_mode(self, fake_root):
+        ds = data.ModelNetDataset(fake_root, num_points=64, split="test",
+                                  use_normals=False, uniform=True)
+        pts, _ = ds[0]
+        assert pts.shape == (64, 3)
+
+    def test_process_data_cache(self, fake_root):
+        ds1 = data.ModelNetDataset(fake_root, num_points=128,
+                                   split="test", process_data=True)
+        assert os.path.exists(ds1.save_path)
+        ds2 = data.ModelNetDataset(fake_root, num_points=128,
+                                   split="test", process_data=True)
+        np.testing.assert_allclose(ds1[1][0], ds2[1][0])
+
+    def test_batch_iterator_threaded(self, fake_root):
+        ds = data.ModelNetDataset(fake_root, num_points=128,
+                                  split="test")
+        serial = list(data.batch_iterator(ds, 2))
+        threaded = list(data.batch_iterator(ds, 2, num_workers=3))
+        assert len(serial) == len(threaded) == 2
+        for (p1, l1), (p2, l2) in zip(serial, threaded):
+            np.testing.assert_allclose(p1, p2)
+            np.testing.assert_array_equal(l1, l2)
+
+
+class TestGeoA3Mat:
+    @pytest.fixture
+    def mat_file(self, tmp_path, rng):
+        from scipy.io import savemat
+
+        path = str(tmp_path / "geo.mat")
+        savemat(path, {
+            "data": rng.randn(5, 3, 64).astype(np.float32),
+            "normal": rng.randn(5, 3, 64).astype(np.float32),
+            "label": np.array([[17], [9], [3], [15], [20]]),
+        })
+        return path
+
+    def test_all_mode_9_targets(self, mat_file):
+        ds = data.GeoA3ModelNet40(mat_file, attack_label="All")
+        pcs, normals, gts, targets = ds[0]
+        assert pcs.shape == (9, 64, 3)
+        assert len(targets) == 9
+        assert 17 not in targets            # true label excluded
+        assert (gts == 17).all()
+
+    def test_untarget_mode(self, mat_file):
+        ds = data.GeoA3ModelNet40(mat_file, attack_label="Untarget")
+        pcs, normals, gts = ds[1]
+        assert pcs.shape == (1, 64, 3)
+        assert gts[0] == 9
+
+    def test_random_mode_excludes_truth(self, mat_file):
+        ds = data.GeoA3ModelNet40(mat_file, attack_label="Random")
+        for i in range(5):
+            out = ds[i]
+            assert out[3][0] != out[2][0]
+
+    def test_resample(self, mat_file):
+        ds = data.GeoA3ModelNet40(mat_file, attack_label="Untarget",
+                                  resample_num=32)
+        pcs, _, _ = ds[0]
+        assert pcs.shape == (1, 32, 3)
+
+
+class TestTrainAndEvalPipeline:
+    def test_train_improves_and_attack_succeeds(self):
+        """End-to-end: train a victim on synthetic classes, verify clean
+        accuracy, run IFGSM through the CLI registry, verify ASR > 0."""
+        from hitadv_tpu import models
+        from hitadv_tpu.train import train_victim
+        from hitadv_tpu.eval import build_attack
+        from hitadv_tpu.evaluation import eval_asr
+        from hitadv_tpu.config import EvalConfig
+        from hitadv_tpu.data import synthetic_batches, synthetic_clouds
+
+        init, apply = models.get_model("pointnet")
+        pts, labels = synthetic_clouds(128, num_points=128,
+                                       num_classes=4, seed=1)
+        params = train_victim(init, apply, pts[..., :3], labels,
+                              jax.random.PRNGKey(0), epochs=12,
+                              batch_size=16)
+        logits_fn = lambda x: apply(params, x)  # noqa: E731
+        acc = float(np.mean(np.argmax(np.asarray(
+            logits_fn(jnp.asarray(pts[..., :3]))), -1) == labels))
+        assert acc > 0.5, f"victim failed to train (acc={acc})"
+
+        cfg = EvalConfig(attack_type="IFGSM", budget=0.3, num_iter=10,
+                         num_point=128)
+        attack = build_attack(cfg, logits_fn)
+        metrics = eval_asr(
+            logits_fn, attack,
+            synthetic_batches(2, 8, num_points=128, num_classes=4,
+                              seed=1),
+            uniform_k=2, verbose=False)
+        assert metrics["clean_correct"] > 0
+        assert metrics["asr"] > 0.2
