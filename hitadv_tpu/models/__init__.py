@@ -9,7 +9,9 @@ and ``apply(params, x) -> logits`` with ``x: [B, N, C]`` channels-last.
 from typing import Any, Callable, Dict, Tuple
 
 from hitadv_tpu.models import (  # noqa: F401
+    autoencoder,
     dgcnn,
+    geoa3_pointnet,
     pct,
     pointconv,
     pointnet,
@@ -23,6 +25,7 @@ _REGISTRY: Dict[str, Tuple[Callable, Callable]] = {
     "dgcnn": (dgcnn.init, dgcnn.apply),
     "pct": (pct.init, pct.apply),
     "pointconv": (pointconv.init, pointconv.apply),
+    "geoa3_pointnet": (geoa3_pointnet.init, geoa3_pointnet.apply),
 }
 
 

@@ -99,6 +99,78 @@ def apply(params: Dict, x: jnp.ndarray,
     return apply_full(params, x, key)[0]
 
 
+# ---------------------------------------------------------------------------
+# MSG set abstraction + feature propagation (pointnet2_ops module parity)
+# ---------------------------------------------------------------------------
+
+def msg_init(key: jax.Array, in_channel: int,
+             mlp_list: Sequence[Sequence[int]]) -> Dict:
+    """Multi-scale-grouping SA stage.
+
+    Parity: `model/pointnet2_utils.py:206-263` (PointNetSetAbstractionMsg)
+    / `pointnet2_ops/pointnet2_modules.py` (PointnetSAModuleMSG).
+    """
+    keys = jax.random.split(key, len(mlp_list))
+    return {f"branch{i}": F.mlp_init(keys[i],
+                                     [in_channel + 3] + list(mlp))
+            for i, mlp in enumerate(mlp_list)}
+
+
+def msg_apply(params: Dict, npoint: int,
+              radius_list: Sequence[float],
+              nsample_list: Sequence[int],
+              xyz: jnp.ndarray, points: Optional[jnp.ndarray],
+              key: Optional[jax.Array] = None):
+    """xyz [B,N,3], points [B,N,D] -> (new_xyz [B,S,3], feats [B,S,ΣC'])."""
+    fps_idx = G.farthest_point_sample(xyz, npoint, key=key)
+    new_xyz = G.index_points(xyz, fps_idx)
+    outs = []
+    for i, (radius, nsample) in enumerate(zip(radius_list,
+                                              nsample_list)):
+        idx = G.query_ball_point(radius, nsample, xyz, new_xyz)
+        grouped_xyz = G.index_points(xyz, idx) - new_xyz[:, :, None, :]
+        if points is not None:
+            grouped = jnp.concatenate(
+                [G.index_points(points, idx), grouped_xyz], axis=-1)
+        else:
+            grouped = grouped_xyz
+        h = F.mlp_apply(params[f"branch{i}"], grouped)
+        outs.append(jnp.max(h, axis=2))                       # [B, S, C']
+    return new_xyz, jnp.concatenate(outs, axis=-1)
+
+
+def fp_init(key: jax.Array, in_channel: int,
+            mlp: Sequence[int]) -> Dict:
+    """Feature propagation stage. Parity: `model/pointnet2_utils.py:266-316`."""
+    return F.mlp_init(key, [in_channel] + list(mlp))
+
+
+def fp_apply(params: Dict, xyz1: jnp.ndarray, xyz2: jnp.ndarray,
+             points1: Optional[jnp.ndarray],
+             points2: jnp.ndarray) -> jnp.ndarray:
+    """Interpolate features from the sparse level (xyz2/points2) back to
+    the dense level (xyz1), concat skip features, shared MLP.
+
+    xyz1 [B,N,3], xyz2 [B,S,3], points1 [B,N,D1] or None,
+    points2 [B,S,D2] -> [B, N, C'].
+    """
+    B, N, _ = xyz1.shape
+    S = xyz2.shape[1]
+    if S == 1:
+        interpolated = jnp.broadcast_to(points2,
+                                        (B, N, points2.shape[-1]))
+    else:
+        # 3-NN inverse-squared-distance weights (reference uses the
+        # squared distances from square_distance directly, :296-299)
+        sq = G.square_distance(xyz1, xyz2)
+        neg, idx = jax.lax.top_k(-sq, 3)
+        weights = G.interpolate_weights(-neg)
+        interpolated = G.three_interpolate(points2, idx, weights)
+    if points1 is not None:
+        interpolated = jnp.concatenate([points1, interpolated], axis=-1)
+    return F.mlp_apply(params, interpolated)
+
+
 def _sa_spec(torch_prefix: str, tree_prefix: str, n_layers: int):
     spec = {}
     for i in range(n_layers):

@@ -53,6 +53,32 @@ def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
+def conv1d_init(key: jax.Array, in_channels: int, out_channels: int,
+                kernel_size: int, bias: bool = True) -> Params:
+    """General 1D conv weights ``[K, Cin, Cout]`` (torch ``[Cout, Cin, K]``
+    transposed by the checkpoint converter)."""
+    wkey, bkey = jax.random.split(key)
+    fan_in = in_channels * kernel_size
+    bound = 1.0 / math.sqrt(fan_in)
+    p = {"w": jax.random.uniform(wkey,
+                                 (kernel_size, in_channels, out_channels),
+                                 minval=-bound, maxval=bound)}
+    if bias:
+        p["b"] = jax.random.uniform(bkey, (out_channels,),
+                                    minval=-bound, maxval=bound)
+    return p
+
+
+def conv1d(p: Params, x: jnp.ndarray, padding: str = "SAME") -> jnp.ndarray:
+    """1D conv over the point axis: ``[B, N, Cin] -> [B, N, Cout]``."""
+    y = jax.lax.conv_general_dilated(
+        x, p["w"], window_strides=(1,), padding=padding,
+        dimension_numbers=("NWC", "WIO", "NWC"))
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
 # ---------------------------------------------------------------------------
 # BatchNorm (inference)
 # ---------------------------------------------------------------------------

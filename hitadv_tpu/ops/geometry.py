@@ -114,19 +114,85 @@ class KNNResult(NamedTuple):
     idx: jnp.ndarray    # [B, S, K] int32
 
 
-def knn_points(query: jnp.ndarray, points: jnp.ndarray, k: int) -> KNNResult:
-    """k nearest neighbors of each query point, pytorch3d parity.
+# Geometry backend: "auto" picks the fused Pallas kernels on TPU and the
+# pure-XLA reference path elsewhere. `set_backend` overrides globally.
+_BACKEND = "auto"
 
-    Sorted ascending by squared distance (pytorch3d returns squared dists).
 
-    Args:
-      query: ``[B, S, C]``.
-      points: ``[B, N, C]``.
-      k: number of neighbors.
-    """
+def set_backend(name: str) -> None:
+    """Select "auto" | "xla" | "pallas" for the hot geometry ops."""
+    global _BACKEND
+    if name not in ("auto", "xla", "pallas"):
+        raise ValueError(name)
+    _BACKEND = name
+
+
+def get_backend() -> str:
+    return _BACKEND
+
+
+def _pallas_active() -> bool:
+    if _BACKEND == "xla":
+        return False
+    if _BACKEND == "pallas":
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _knn_xla(query: jnp.ndarray, points: jnp.ndarray, k: int) -> KNNResult:
     d = square_distance(query, points)                        # [B, S, N]
     neg, idx = lax.top_k(-d, k)                               # ascending dist
     return KNNResult(dists=-neg, idx=idx.astype(jnp.int32))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _knn_pallas_diff(query, points, k):
+    from hitadv_tpu.ops import pallas_kernels as PK
+
+    return PK.knn_pallas(query, points, k)
+
+
+def _knn_pallas_fwd(query, points, k):
+    dists, idx = _knn_pallas_diff(query, points, k)
+    return (dists, idx), (query, points, idx)
+
+
+def _knn_pallas_bwd(k, res, grads):
+    """VJP of sq dists: d_i = |q - p_{idx_i}|^2 (idx non-differentiable,
+    matching the selection semantics of the XLA top_k path)."""
+    query, points, idx = res
+    g_d, _ = grads                                            # [B, S, K]
+    neighbors = index_points(points, idx)                     # [B, S, K, 3]
+    diff = query[:, :, None, :] - neighbors                   # [B, S, K, 3]
+    gq = jnp.sum(2.0 * g_d[..., None] * diff, axis=2)         # [B, S, 3]
+    contrib = (-2.0 * g_d[..., None] * diff)                  # [B, S, K, 3]
+    B, N, C = points.shape
+    gp = jnp.zeros((B, N, C), points.dtype)
+    flat_idx = idx.reshape(B, -1)
+    gp = jax.vmap(lambda g, i, c: g.at[i].add(c))(
+        gp, flat_idx, contrib.reshape(B, -1, C))
+    return gq, gp
+
+
+_knn_pallas_diff.defvjp(_knn_pallas_fwd, _knn_pallas_bwd)
+
+
+def knn_points(query: jnp.ndarray, points: jnp.ndarray, k: int) -> KNNResult:
+    """k nearest neighbors of each query point, pytorch3d parity.
+
+    Sorted ascending by squared distance (pytorch3d returns squared
+    dists). On TPU this dispatches to the fused Pallas kernel
+    (`ops/pallas_kernels.py`) with a custom VJP; neighbor order for
+    exactly-tied distances may differ from the XLA sort path (harmless:
+    downstream consumers are order-invariant reductions).
+    """
+    if _pallas_active() and query.shape[-1] == 3 and k <= points.shape[1]:
+        dists, idx = _knn_pallas_diff(query, points, k)
+        return KNNResult(dists=dists, idx=idx)
+    return _knn_xla(query, points, k)
 
 
 def knn_indices(points: jnp.ndarray, k: int,
@@ -173,6 +239,8 @@ def farthest_point_sample(xyz: jnp.ndarray, npoint: int,
     Returns:
       ``[B, npoint]`` int32 indices.
     """
+    if _pallas_active() and xyz.shape[-1] == 3:
+        return _fps_pallas_nondiff(xyz, npoint, key, start_idx or 0)
     B, N, _ = xyz.shape
     if key is not None:
         farthest0 = jax.random.randint(key, (B,), 0, N, dtype=jnp.int32)
@@ -194,6 +262,23 @@ def farthest_point_sample(xyz: jnp.ndarray, npoint: int,
             jnp.zeros((B, npoint), dtype=jnp.int32))
     _, _, centroids = lax.fori_loop(0, npoint, body, init)
     return centroids
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(1, 3))
+def _fps_pallas_nondiff(xyz, npoint, key, start_idx):
+    """Pallas FPS with a zero-tangent JVP: index selection is
+    non-differentiable (the XLA fori_loop path gets this for free;
+    pallas_call needs the rule spelled out because FPS runs inside
+    differentiated model forwards, e.g. PointNet++ under attack)."""
+    from hitadv_tpu.ops import pallas_kernels as PK
+
+    return PK.fps_pallas(xyz, npoint, key=key, start_idx=start_idx)
+
+
+@_fps_pallas_nondiff.defjvp
+def _fps_pallas_jvp(npoint, start_idx, primals, tangents):
+    out = _fps_pallas_nondiff(primals[0], npoint, primals[1], start_idx)
+    return out, jnp.zeros(out.shape, dtype=jax.dtypes.float0)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,216 @@
+"""Pallas TPU kernels for the hot geometry ops.
+
+Measured on one v5e chip at B=64, N=1024 (the flagship eval shape), the
+pure-XLA backend costs per call:
+  * kNN(k=17): ~20 ms — ``lax.top_k`` sorts the full [B, N, N] distance
+    matrix through HBM;
+  * FPS(512):  ~10 ms — 512 sequential XLA loop steps.
+These kernels fuse the whole computation in VMEM:
+  * `knn_pallas`: distance tile computed on the MXU per query block and
+    reduced by k-pass min-extraction — only ``[B, Nq, K]`` ever touches
+    HBM (no N×N materialization, no sort);
+  * `fps_pallas`: the entire greedy loop runs in one kernel with the
+    min-distance field resident in VMEM (one-hot matmul gathers replace
+    dynamic indexing).
+
+Both match the pure-JAX reference ops in `ops/geometry.py` exactly (same
+tie-breaking: lowest index wins). Results are accumulated in loop
+carries and stored once — Mosaic cannot prove alignment for
+per-iteration dynamic-column vector stores.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    """Run kernels in interpreter mode off-TPU (CPU tests)."""
+    try:
+        return jax.default_backend() != "tpu"
+    except Exception:
+        return True
+
+
+_NEG_INF = float("-inf")
+_POS_INF = float("inf")
+
+
+# ---------------------------------------------------------------------------
+# Fused kNN
+# ---------------------------------------------------------------------------
+
+def _knn_kernel(q_ref, p_ref, pn_ref, dist_ref, idx_ref, *, k: int,
+                n_valid: int):
+    """One (batch, query-tile) program.
+
+    q_ref: [1, TQ, 3] queries; p_ref: [1, N, 3] points;
+    pn_ref: [1, 1, N] precomputed |p|^2; outputs [1, TQ, k_pad].
+    """
+    q = q_ref[0]                                             # [TQ, 3]
+    p = p_ref[0]                                             # [N, 3]
+    qn = jnp.sum(q * q, axis=-1, keepdims=True)              # [TQ, 1]
+    # |q|^2 + |p|^2 - 2 q.p with the cross term as three f32 rank-1
+    # products: the MXU would round inputs to bf16 (abs error ~1e-2,
+    # enough to flip neighbor order vs the XLA HIGHEST-precision path).
+    cross = (q[:, 0:1] * p[:, 0][None, :]
+             + q[:, 1:2] * p[:, 1][None, :]
+             + q[:, 2:3] * p[:, 2][None, :])                 # [TQ, N]
+    d = qn - 2.0 * cross + pn_ref[0]                         # [TQ, N]
+
+    TQ, N = d.shape
+    k_pad = dist_ref.shape[-1]
+    col = lax.broadcasted_iota(jnp.int32, (TQ, N), 1)
+    if n_valid < N:                                          # padded cols
+        d = jnp.where(col < n_valid, d, _POS_INF)
+    slot = lax.broadcasted_iota(jnp.int32, (TQ, k_pad), 1)
+
+    def body(i, carry):
+        d, out_d, out_i = carry
+        m = jnp.min(d, axis=1)                               # [TQ]
+        a = jnp.argmin(d, axis=1).astype(jnp.int32)          # [TQ]
+        out_d = jnp.where(slot == i, m[:, None], out_d)
+        out_i = jnp.where(slot == i, a[:, None], out_i)
+        d = jnp.where(col == a[:, None], _POS_INF, d)        # knock out
+        return d, out_d, out_i
+
+    _, out_d, out_i = lax.fori_loop(
+        0, k, body,
+        (d, jnp.zeros((TQ, k_pad), jnp.float32),
+         jnp.zeros((TQ, k_pad), jnp.int32)))
+    dist_ref[0] = out_d
+    idx_ref[0] = out_i
+
+
+def knn_pallas(query: jnp.ndarray, points: jnp.ndarray, k: int,
+               tile_q: int = 256) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused kNN: (sq dists [B, Nq, k], idx [B, Nq, k]), ascending.
+
+    Exact (not approximate); ties broken by lowest index, matching
+    ``lax.top_k`` of the negative distance matrix.
+    """
+    B, Nq, _ = query.shape
+    N = points.shape[1]
+    tile_q = min(tile_q, max(8, Nq))
+
+    pad_q = (-Nq) % tile_q
+    if pad_q:
+        query = jnp.pad(query, ((0, 0), (0, pad_q), (0, 0)))
+    pad_n = (-N) % 128
+    if pad_n:
+        points = jnp.pad(points, ((0, 0), (0, pad_n), (0, 0)))
+    Np = N + pad_n
+    k_pad = -(-k // 128) * 128
+    pnorm = jnp.sum(points * points, axis=-1)[:, None, :]    # [B, 1, Np]
+
+    grid = (B, (Nq + pad_q) // tile_q)
+    kernel = functools.partial(_knn_kernel, k=k, n_valid=N)
+    dists, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        interpret=_interpret(),
+        in_specs=[
+            pl.BlockSpec((1, tile_q, 3), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, Np, 3), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, 1, Np), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_q, k_pad), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, tile_q, k_pad), lambda b, i: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Nq + pad_q, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, Nq + pad_q, k_pad), jnp.int32),
+        ],
+    )(query, points, pnorm)
+    return dists[:, :Nq, :k], idx[:, :Nq, :k]
+
+
+# ---------------------------------------------------------------------------
+# Fused FPS
+# ---------------------------------------------------------------------------
+
+def _fps_kernel(x_ref, y_ref, z_ref, start_ref, out_ref, *, npoint: int,
+                n_valid: int):
+    """Whole-batch FPS in one program.
+
+    x/y/z_ref: [B, N] coordinate planes; start_ref: [B, 128] start index
+    (column 0); out_ref: [B, npoint_pad] int32 indices.
+    """
+    x, y, z = x_ref[:], y_ref[:], z_ref[:]                   # [B, N]
+    B, N = x.shape
+    np_pad = out_ref.shape[-1]
+    col = lax.broadcasted_iota(jnp.int32, (B, N), 1)
+    valid = col < n_valid
+    out_col = lax.broadcasted_iota(jnp.int32, (B, np_pad), 1)
+
+    def body(i, carry):
+        dists, farthest, out = carry
+        out = jnp.where(out_col == i, farthest[:, None], out)
+        onehot = (col == farthest[:, None]).astype(x.dtype)  # [B, N]
+        cx = jnp.sum(onehot * x, axis=1, keepdims=True)      # [B, 1]
+        cy = jnp.sum(onehot * y, axis=1, keepdims=True)
+        cz = jnp.sum(onehot * z, axis=1, keepdims=True)
+        d = ((x - cx) ** 2 + (y - cy) ** 2 + (z - cz) ** 2)  # [B, N]
+        dists = jnp.minimum(dists, d)
+        masked = jnp.where(valid, dists, _NEG_INF)
+        farthest = jnp.argmax(masked, axis=1).astype(jnp.int32)
+        return dists, farthest, out
+
+    init = (jnp.full((B, N), 1e10, x.dtype), start_ref[:, 0],
+            jnp.zeros((B, np_pad), jnp.int32))
+    _, _, out = lax.fori_loop(0, npoint, body, init)
+    out_ref[:] = out
+
+
+def fps_pallas_from_start(xyz: jnp.ndarray, npoint: int,
+                          start: jnp.ndarray) -> jnp.ndarray:
+    """FPS kernel taking explicit per-batch start indices ``[B]``."""
+    B, N, _ = xyz.shape
+    start = jnp.pad(start.reshape(B, 1).astype(jnp.int32),
+                    ((0, 0), (0, 127)))                      # lane-pad
+
+    pad_n = (-N) % 128
+    if pad_n:
+        xyz = jnp.pad(xyz, ((0, 0), (0, pad_n), (0, 0)))
+    Np = N + pad_n
+    npoint_pad = -(-npoint // 128) * 128
+    planes = [xyz[..., 0], xyz[..., 1], xyz[..., 2]]          # [B, Np] x3
+
+    kernel = functools.partial(_fps_kernel, npoint=npoint, n_valid=N)
+    out = pl.pallas_call(
+        kernel,
+        interpret=_interpret(),
+        in_specs=[
+            pl.BlockSpec((B, Np), lambda: (0, 0)),
+            pl.BlockSpec((B, Np), lambda: (0, 0)),
+            pl.BlockSpec((B, Np), lambda: (0, 0)),
+            pl.BlockSpec((B, 128), lambda: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((B, npoint_pad), lambda: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, npoint_pad), jnp.int32),
+    )(*planes, start)
+    return out[:, :npoint]
+
+
+def fps_pallas(xyz: jnp.ndarray, npoint: int,
+               key: Optional[jax.Array] = None,
+               start_idx: int = 0) -> jnp.ndarray:
+    """Farthest point sampling, single fused kernel.
+
+    Matches `ops.geometry.farthest_point_sample` (including argmax
+    first-wins tie-breaking and the random/fixed start conventions).
+    """
+    B, N, _ = xyz.shape
+    if key is not None:
+        start = jax.random.randint(key, (B,), 0, N, dtype=jnp.int32)
+    else:
+        start = jnp.full((B,), start_idx, dtype=jnp.int32)
+    return fps_pallas_from_start(xyz, npoint, start)

@@ -52,10 +52,14 @@ def _convert_leaf(sd: Mapping[str, np.ndarray], prefix: str,
         }
     w = np.asarray(sd[f"{prefix}.weight"])
     if kind == "conv":
-        w = w.reshape(w.shape[0], w.shape[1])                 # drop 1(x1)
-    elif kind != "linear":
+        w = w.reshape(w.shape[0], w.shape[1]).T               # drop 1(x1)
+    elif kind == "conv1d":
+        w = w.transpose(2, 1, 0)                              # [K, Cin, Cout]
+    elif kind == "linear":
+        w = w.T
+    else:
         raise ValueError(kind)
-    out = {"w": jnp.asarray(w.T)}
+    out = {"w": jnp.asarray(w)}
     if f"{prefix}.bias" in sd:
         out["b"] = jnp.asarray(sd[f"{prefix}.bias"])
     return out

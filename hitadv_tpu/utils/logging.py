@@ -41,6 +41,19 @@ def timestamped_logger(save_path: str = "./log") -> logging.Logger:
     return create_logger(save_path, ts, "info")
 
 
+def topk_accuracy(logits, targets, topk=(1,)):
+    """Top-k accuracy percentages (torch_accuracy parity,
+    `util/other_utils.py:217-235`). Works on numpy or jax arrays."""
+    import numpy as np
+
+    logits = np.asarray(logits)
+    targets = np.asarray(targets)
+    maxk = max(topk)
+    pred = np.argsort(-logits, axis=-1)[:, :maxk]             # [B, maxk]
+    correct = pred == targets[:, None]
+    return [100.0 * correct[:, :k].any(axis=1).mean() for k in topk]
+
+
 class AvgMeter:
     """Running mean with NaN clamping (parity: `util/other_utils.py:275-300`)."""
 

@@ -1,0 +1,78 @@
+"""Profiling / tracing utilities.
+
+Parity surface: the reference's manual wall-clock phase accumulators
+printed every 100 iterations (`CW/Perturb.py:89-92,160-173`,
+`ShapeAttack/HiT_ADV.py:150-153,248-260`) — provided here as
+`PhaseTimer`. The TPU-native upgrades (SURVEY.md §5): `trace` wraps
+``jax.profiler`` for real XLA traces, and `annotate` emits named
+TraceAnnotations so attack phases show up in the profile timeline
+instead of host-side timers.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict
+from typing import Dict, Iterator, Optional
+
+import jax
+
+
+class PhaseTimer:
+    """Accumulate wall-clock per named phase; print/reset like the
+    reference's forward/backward/update/clip counters."""
+
+    def __init__(self):
+        self.totals: Dict[str, float] = defaultdict(float)
+        self._start: Optional[float] = None
+
+    @contextlib.contextmanager
+    def phase(self, name: str, sync: bool = False):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            if sync:
+                # force completion so the phase really finished
+                jax.effects_barrier()
+            self.totals[name] += time.perf_counter() - t0
+
+    def summary(self) -> str:
+        total = sum(self.totals.values())
+        parts = ", ".join(f"{k}: {v:.2f}" for k, v in self.totals.items())
+        return f"total time: {total:.2f}, {parts}"
+
+    def reset(self) -> None:
+        self.totals.clear()
+
+
+@contextlib.contextmanager
+def trace(log_dir: str) -> Iterator[None]:
+    """Capture an XLA profiler trace viewable in TensorBoard/XProf."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    """Named region that appears on the device timeline."""
+    return jax.profiler.TraceAnnotation(name)
+
+
+@contextlib.contextmanager
+def device_timer():
+    """Measure on-device time of a block by syncing before/after.
+
+    Yields a dict whose 'ms' key is filled on exit.
+    """
+    out: Dict[str, float] = {}
+    jax.effects_barrier()
+    t0 = time.perf_counter()
+    try:
+        yield out
+    finally:
+        jax.effects_barrier()
+        out["ms"] = (time.perf_counter() - t0) * 1e3

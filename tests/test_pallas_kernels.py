@@ -1,0 +1,107 @@
+"""Pallas kernel parity tests (interpreter mode on the CPU mesh)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hitadv_tpu.ops import geometry as G
+from hitadv_tpu.ops import pallas_kernels as PK
+
+
+class TestKNNPallas:
+    @pytest.mark.parametrize("B,Nq,N,k", [(2, 64, 64, 5), (1, 100, 200, 9),
+                                          (3, 33, 70, 17)])
+    def test_matches_xla(self, rng, B, Nq, N, k):
+        q = jnp.array(rng.randn(B, Nq, 3).astype(np.float32))
+        p = jnp.array(rng.randn(B, N, 3).astype(np.float32))
+        ref = G._knn_xla(q, p, k)
+        d, i = PK.knn_pallas(q, p, k, tile_q=32)
+        np.testing.assert_allclose(np.asarray(d), np.asarray(ref.dists),
+                                   atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ref.idx))
+
+    def test_self_query(self, rng):
+        x = jnp.array(rng.randn(2, 96, 3).astype(np.float32))
+        d, i = PK.knn_pallas(x, x, 8)
+        # nearest neighbor of each point is itself at distance ~0
+        np.testing.assert_allclose(np.asarray(d[..., 0]), 0.0, atol=1e-5)
+        self_idx = np.arange(96)[None, :]
+        np.testing.assert_array_equal(np.asarray(i[..., 0]),
+                                      np.broadcast_to(self_idx, (2, 96)))
+
+    def test_grad_through_dispatch(self, rng):
+        # force the pallas path and check the custom VJP matches XLA
+        q = jnp.array(rng.randn(2, 32, 3).astype(np.float32))
+        p = jnp.array(rng.randn(2, 48, 3).astype(np.float32))
+        G.set_backend("pallas")
+        try:
+            g_pal = jax.grad(
+                lambda q, p: jnp.sum(G.knn_points(q, p, 5).dists))(q, p)
+        finally:
+            G.set_backend("auto")
+        g_xla = jax.grad(
+            lambda q, p: jnp.sum(G._knn_xla(q, p, 5).dists))(q, p)
+        np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_xla),
+                                   atol=1e-4)
+
+    def test_grad_wrt_points_scatter(self, rng):
+        q = jnp.array(rng.randn(1, 16, 3).astype(np.float32))
+        p = jnp.array(rng.randn(1, 24, 3).astype(np.float32))
+        G.set_backend("pallas")
+        try:
+            gp_pal = jax.grad(
+                lambda p: jnp.sum(G.knn_points(q, p, 4).dists ** 2))(p)
+        finally:
+            G.set_backend("auto")
+        gp_xla = jax.grad(
+            lambda p: jnp.sum(G._knn_xla(q, p, 4).dists ** 2))(p)
+        np.testing.assert_allclose(np.asarray(gp_pal), np.asarray(gp_xla),
+                                   atol=1e-4)
+
+
+class TestFPSPallas:
+    @pytest.mark.parametrize("B,N,npoint", [(2, 128, 32), (1, 200, 64),
+                                            (4, 96, 96)])
+    def test_matches_xla_fixed_start(self, rng, B, N, npoint):
+        x = jnp.array(rng.randn(B, N, 3).astype(np.float32))
+        ref = G.farthest_point_sample(x, npoint, start_idx=0)
+        got = PK.fps_pallas(x, npoint)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_random_start_matches(self, rng):
+        x = jnp.array(rng.randn(2, 64, 3).astype(np.float32))
+        key = jax.random.PRNGKey(5)
+        ref = G.farthest_point_sample(x, 16, key=key)
+        got = PK.fps_pallas(x, 16, key=key)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_nondiff_through_model_grad(self, rng):
+        # FPS inside a differentiated function must not break autodiff
+        x = jnp.array(rng.randn(1, 64, 3).astype(np.float32))
+        G.set_backend("pallas")
+        try:
+            def f(x):
+                idx = G.farthest_point_sample(x, 8)
+                return jnp.sum(G.index_points(x, idx) ** 2)
+
+            g = jax.grad(f)(x)
+        finally:
+            G.set_backend("auto")
+        assert np.isfinite(np.asarray(g)).all()
+
+
+class TestBackendDispatch:
+    def test_set_backend_validation(self):
+        with pytest.raises(ValueError):
+            G.set_backend("cuda")
+        assert G.get_backend() == "auto"
+
+    def test_xla_backend_forced(self, rng):
+        x = jnp.array(rng.randn(1, 32, 3).astype(np.float32))
+        G.set_backend("xla")
+        try:
+            res = G.knn_points(x, x, 4)
+        finally:
+            G.set_backend("auto")
+        assert res.idx.shape == (1, 32, 4)

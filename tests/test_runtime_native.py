@@ -1,0 +1,104 @@
+"""Native C++ parser tests (build + parity vs numpy + speed sanity)."""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+from hitadv_tpu import runtime
+
+
+pytestmark = pytest.mark.skipif(not runtime.available(),
+                                reason="no C++ toolchain")
+
+
+@pytest.fixture(scope="module")
+def txt_files(tmp_path_factory):
+    rng = np.random.RandomState(0)
+    d = tmp_path_factory.mktemp("txt")
+    paths, arrays = [], []
+    for i in range(8):
+        arr = rng.randn(3000, 6).astype(np.float32)
+        p = str(d / f"cloud_{i}.txt")
+        np.savetxt(p, arr, delimiter=",", fmt="%.6f")
+        paths.append(p)
+        arrays.append(arr)
+    return paths, arrays
+
+
+class TestNativeParser:
+    def test_single_file_parity(self, txt_files):
+        paths, arrays = txt_files
+        parser = runtime.NativeParser(max_rows=5000)
+        got = parser.load_txt(paths[0])
+        want = np.loadtxt(paths[0], delimiter=",").astype(np.float32)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_batch_parity_and_truncate(self, txt_files):
+        paths, arrays = txt_files
+        parser = runtime.NativeParser()
+        out, counts = parser.load_batch(paths, rows_per_file=1024)
+        assert out.shape == (8, 1024, 6)
+        np.testing.assert_array_equal(counts, 1024)   # truncated
+        for i in range(8):
+            np.testing.assert_allclose(out[i], arrays[i][:1024],
+                                       atol=1e-5)
+
+    def test_batch_normalize(self, txt_files):
+        paths, _ = txt_files
+        parser = runtime.NativeParser()
+        out, _ = parser.load_batch(paths[:2], rows_per_file=1024,
+                                   normalize=True)
+        for i in range(2):
+            xyz = out[i, :, :3]
+            np.testing.assert_allclose(xyz.mean(0), 0, atol=1e-4)
+            assert abs(np.linalg.norm(xyz, axis=1).max() - 1) < 1e-4
+
+    def test_whitespace_separated(self, tmp_path, rng):
+        arr = rng.randn(100, 7).astype(np.float32)
+        p = str(tmp_path / "ws.txt")
+        np.savetxt(p, arr, fmt="%.5f")                # space separated
+        parser = runtime.NativeParser(max_rows=200, n_cols=7)
+        got = parser.load_txt(p)
+        np.testing.assert_allclose(got, arr, atol=1e-4)
+
+    def test_missing_file_raises(self):
+        parser = runtime.NativeParser()
+        with pytest.raises(IOError):
+            parser.load_txt("/nonexistent/file.txt")
+
+    def test_faster_than_numpy(self, txt_files):
+        paths, _ = txt_files
+        parser = runtime.NativeParser()
+        t0 = time.perf_counter()
+        parser.load_batch(paths, rows_per_file=2048)
+        t_native = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for p in paths:
+            np.loadtxt(p, delimiter=",")
+        t_numpy = time.perf_counter() - t0
+        assert t_native < t_numpy, (t_native, t_numpy)
+
+    def test_dataset_integration(self, tmp_path, rng):
+        # ModelNetDataset with the native parser plugged in
+        from hitadv_tpu.data import ModelNetDataset
+
+        root = tmp_path / "mn"
+        root.mkdir()
+        (root / "modelnet40_shape_names.txt").write_text("airplane\n")
+        (root / "airplane").mkdir()
+        pts = rng.randn(1500, 6).astype(np.float32)
+        np.savetxt(root / "airplane" / "airplane_0001.txt", pts,
+                   delimiter=",", fmt="%.6f")
+        (root / "modelnet40_test.txt").write_text("airplane_0001\n")
+        (root / "modelnet40_train.txt").write_text("")
+
+        parser = runtime.NativeParser(max_rows=2000)
+        ds = data = ModelNetDataset(str(root), num_points=256,
+                                    split="test", parser=parser)
+        got, label = ds[0]
+        ds_np = ModelNetDataset(str(root), num_points=256, split="test")
+        want, _ = ds_np[0]
+        np.testing.assert_allclose(got, want, atol=1e-5)

@@ -1,0 +1,156 @@
+"""Aux subsystem tests: mesh IO, checkpoint helpers, meters, GeoA3 model."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hitadv_tpu.utils import (
+    AvgMeter,
+    ConvergenceRecorder,
+    EvalProgress,
+    LossRecorder,
+    PhaseTimer,
+    TrainingAux,
+    mesh_io,
+    topk_accuracy,
+)
+
+
+class TestMeshIO:
+    def test_obj_roundtrip(self, tmp_path, rng):
+        v = rng.randn(10, 3).astype(np.float32)
+        f = np.array([[0, 1, 2], [3, 4, 5]])
+        p = str(tmp_path / "m.obj")
+        mesh_io.write_obj(p, v, f)
+        v2, f2 = mesh_io.read_obj(p)
+        np.testing.assert_allclose(v2, v, atol=1e-5)
+        np.testing.assert_array_equal(f2, f)
+
+    def test_off_roundtrip(self, tmp_path, rng):
+        v = rng.randn(8, 3).astype(np.float32)
+        f = np.array([[3, 0, 1, 2], [3, 4, 5, 6]])
+        p = str(tmp_path / "m.off")
+        mesh_io.write_off(p, v, f)
+        v2, f2 = mesh_io.read_off(p)
+        np.testing.assert_allclose(v2, v, atol=1e-5)
+        np.testing.assert_array_equal(f2, f[:, 1:])
+
+    def test_off_modelnet_header_bug(self, tmp_path):
+        # 'OFF3 1 0' glued header must parse
+        p = str(tmp_path / "bug.off")
+        with open(p, "w") as fp:
+            fp.write("OFF3 1 0\n0 0 0\n1 0 0\n0 1 0\n3 0 1 2\n")
+        v, f = mesh_io.read_off(p)
+        assert v.shape == (3, 3)
+        np.testing.assert_array_equal(f, [[0, 1, 2]])
+
+    def test_asc_roundtrip(self, tmp_path, rng):
+        pts = rng.randn(16, 3).astype(np.float32)
+        p = str(tmp_path / "c.asc")
+        mesh_io.write_asc(p, pts)
+        np.testing.assert_allclose(mesh_io.read_asc(p), pts, atol=1e-5)
+
+    def test_reconstruct_fallback(self, tmp_path, rng):
+        pts = rng.randn(32, 3).astype(np.float32)
+        mesh_io.reconstruct_from_pc(32, str(tmp_path), "recon", pts)
+        assert os.path.exists(tmp_path / "recon.obj")
+
+
+class TestTrainingAux:
+    def test_checkpoint_best_copy(self, tmp_path):
+        aux = TrainingAux(str(tmp_path / "ckpt"))
+        aux.save_checkpoint({"epoch": 1, "v": 2}, is_best=False)
+        aux.save_checkpoint({"epoch": 2, "v": 5}, is_best=True)
+        aux.save_checkpoint({"epoch": 3, "v": 1}, is_best=False)
+        assert aux.load_checkpoint()["epoch"] == 3
+        assert aux.load_checkpoint(is_best=True)["epoch"] == 2
+
+    def test_eval_progress_resume(self, tmp_path):
+        path = str(tmp_path / "prog.pkl")
+        p1 = EvalProgress(path)
+        assert p1.next_batch == 0
+        p1.update(0, {"asr_num": 3.0})
+        p1.update(1, {"asr_num": 7.0})
+        p2 = EvalProgress(path)
+        assert p2.next_batch == 2
+        assert p2.accumulators()["asr_num"] == 7.0
+        p2.clear()
+        assert not os.path.exists(path)
+
+    def test_recorders(self, tmp_path):
+        c = ConvergenceRecorder(str(tmp_path / "r"))
+        for s in (3, 5, 5, 9):
+            c.record(s)
+        c.save()
+        assert os.path.exists(tmp_path / "r" / "converge_iter.json")
+        l = LossRecorder(str(tmp_path / "r"))
+        for v in (1.0, 0.5, 0.2):
+            l.record(v)
+        l.save()
+        assert os.path.exists(tmp_path / "r" / "loss_iter.json")
+
+
+class TestMetersAndTimers:
+    def test_avg_meter_nan(self):
+        m = AvgMeter()
+        m.update(1.0)
+        m.update(float("nan"))
+        assert m.mean == pytest.approx((1.0 + 1e6) / 2)
+
+    def test_topk_accuracy(self):
+        logits = np.array([[0.9, 0.05, 0.05], [0.1, 0.2, 0.7],
+                           [0.4, 0.5, 0.1]])
+        targets = np.array([0, 2, 0])
+        top1, top2 = topk_accuracy(logits, targets, topk=(1, 2))
+        assert top1 == pytest.approx(100 * 2 / 3)
+        assert top2 == pytest.approx(100.0)
+
+    def test_phase_timer(self):
+        t = PhaseTimer()
+        with t.phase("forward"):
+            pass
+        with t.phase("backward"):
+            pass
+        assert "forward" in t.summary()
+        t.reset()
+        assert t.totals == {}
+
+
+class TestGeoA3Model:
+    def test_forward_and_parity(self, rng):
+        import sys
+        from hitadv_tpu.models import geoa3_pointnet
+        from hitadv_tpu.utils import checkpoint as ckpt
+
+        params = geoa3_pointnet.init(jax.random.PRNGKey(0))
+        x = jnp.array(rng.randn(2, 128, 3).astype(np.float32))
+        logits, idx = geoa3_pointnet.apply_full(params, x)
+        assert logits.shape == (2, 40)
+        assert idx.shape == (2, 1024)
+        assert np.isfinite(np.asarray(logits)).all()
+
+        if not os.path.isdir("/root/reference/model"):
+            return
+        sys.path.insert(0, "/root/reference")
+        import tests.test_model_zoo  # triggers module stubs
+        import torch
+        from model.GeoA3_PN import PointNet
+
+        torch.manual_seed(0)
+        m = PointNet(40).eval()
+        with torch.no_grad():
+            for mod in m.modules():
+                if isinstance(mod, torch.nn.BatchNorm1d):
+                    mod.running_mean.normal_(0, 0.5)
+                    mod.running_var.uniform_(0.5, 2.0)
+        sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+        jparams = ckpt.convert_state_dict(sd, geoa3_pointnet.TORCH_SPEC)
+        with torch.no_grad():
+            want = m(torch.from_numpy(
+                np.swapaxes(np.asarray(x), 1, 2).copy()))
+        got = geoa3_pointnet.apply(jparams, x)
+        np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                                   atol=3e-4)
