@@ -13,3 +13,4 @@ from hitadv_tpu.parallel.mesh import (  # noqa: F401
     replicate,
     shard_attack,
 )
+from hitadv_tpu.parallel.ring import ring_chamfer, ring_hausdorff  # noqa: F401

@@ -1,0 +1,79 @@
+"""Multi-device tests on the 8-device virtual CPU mesh (SURVEY.md §4 e)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hitadv_tpu import losses
+from hitadv_tpu.attacks import base, fgm
+from hitadv_tpu.data import synthetic_clouds
+from hitadv_tpu.models import pointnet
+from hitadv_tpu.parallel import make_mesh, shard_attack
+from hitadv_tpu.parallel.ring import ring_chamfer, ring_hausdorff
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(8)
+
+
+class TestRingSetDistances:
+    @pytest.mark.parametrize("method", ["adv2ori", "ori2adv", "both"])
+    def test_ring_chamfer_matches_dense(self, rng, mesh, method):
+        adv = jnp.array(rng.randn(2, 256, 3).astype(np.float32))
+        ori = jnp.array(rng.randn(2, 256, 3).astype(np.float32))
+        want = np.asarray(losses.chamfer_dist(adv, ori, method))
+        got = np.asarray(ring_chamfer(adv, ori, mesh, method))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    @pytest.mark.parametrize("method", ["adv2ori", "both"])
+    def test_ring_hausdorff_matches_dense(self, rng, mesh, method):
+        adv = jnp.array(rng.randn(2, 128, 3).astype(np.float32))
+        ori = jnp.array(rng.randn(2, 128, 3).astype(np.float32))
+        want = np.asarray(losses.hausdorff_dist(adv, ori, method))
+        got = np.asarray(ring_hausdorff(adv, ori, mesh, method))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_ring_differentiable(self, rng, mesh):
+        adv = jnp.array(rng.randn(1, 64, 3).astype(np.float32))
+        ori = jnp.array(rng.randn(1, 64, 3).astype(np.float32))
+        g_ring = jax.grad(
+            lambda a: ring_chamfer(a, ori, mesh).sum())(adv)
+        g_dense = jax.grad(
+            lambda a: losses.chamfer_dist(a, ori).sum())(adv)
+        np.testing.assert_allclose(np.asarray(g_ring),
+                                   np.asarray(g_dense), atol=1e-5)
+
+
+class TestShardedAttack:
+    def test_sharded_matches_single_device(self, mesh):
+        """Batch-sharded attack must produce identical results to the
+        unsharded program (pure data parallelism, same PRNG)."""
+        pts, labels = synthetic_clouds(16, num_points=64, seed=20)
+        pts, labels = jnp.array(pts[..., :3]), jnp.array(labels)
+        params = pointnet.init(jax.random.PRNGKey(0))
+        logits_fn = lambda x: pointnet.apply(params, x)  # noqa: E731
+        adv_fn = base.make_adv_fn("cross_entropy")
+        attack = fgm.make_ifgsm(logits_fn, adv_fn,
+                                fgm.FGMConfig(budget=0.1, num_iter=4))
+
+        ref = attack(pts, labels, jax.random.PRNGKey(1))
+        sharded = shard_attack(attack, mesh)
+        got = sharded(pts, labels, jax.random.PRNGKey(1))
+        np.testing.assert_allclose(np.asarray(got.adv_points),
+                                   np.asarray(ref.adv_points), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(got.success),
+                                      np.asarray(ref.success))
+
+    def test_outputs_stay_sharded(self, mesh):
+        pts, labels = synthetic_clouds(8, num_points=64, seed=21)
+        pts, labels = jnp.array(pts[..., :3]), jnp.array(labels)
+        params = pointnet.init(jax.random.PRNGKey(0))
+        logits_fn = lambda x: pointnet.apply(params, x)  # noqa: E731
+        attack = fgm.make_fgsm(logits_fn,
+                               base.make_adv_fn("cross_entropy"),
+                               fgm.FGMConfig(budget=0.1))
+        res = shard_attack(attack, mesh)(pts, labels)
+        shard_devices = {s.device for s in res.adv_points.addressable_shards}
+        assert len(shard_devices) == 8
