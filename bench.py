@@ -1,19 +1,21 @@
-"""Benchmark harness: attack iterations/sec/chip on the flagship config.
+"""Benchmark harness: flagship attack throughput on one TPU chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Baseline (BASELINE.md): the reference publishes no numbers; its measured
-quantity is wall-clock per attack iteration (one victim forward+backward
-+ optimizer update + bookkeeping) on 1x GPU at B=256(reference default)
-/ N=1024 on PointNet. BASELINE.json's target is >10x that per v5e chip.
-We report absolute attack iters/sec/chip; vs_baseline uses the measured
-reference-style torch-CPU-free estimate recorded in BASELINE.json when
-present (else 1.0 = unknown).
+Primary metric: full HiT-ADV attacks (the paper's headline engine, eval
+config of record: 10 binary steps x 100 Adam iters, PointNet victim,
+N=1024) in examples attacked per second per chip. The whole attack is
+one XLA program (scanned binary search + Adam + bookkeeping) with the
+Pallas geometry backend active.
 
-The benched program is the full CW-style attack iteration (the hot loop
-of `CW/Perturb.py:95-173` / `ShapeAttack/HiT_ADV.py:156-261`): forward,
-margin loss + chamfer distance, backward, Adam update, bookkeeping mask —
-all inside one jitted scan, the way the framework actually runs it.
+Baseline (BASELINE.md): the reference publishes no numbers; its measured
+quantity is per-phase wall-clock on 1x GPU. BASELINE.json's target is
+>10x per v5e chip. vs_baseline divides by
+``published.attack_examples_per_sec`` from BASELINE.json when present,
+else 1.0 (unknown).
+
+Secondary metrics in "extra": CW-Perturb-style attack iterations/sec
+(the `CW/Perturb.py:95-173` hot loop) and the attack wall-clock itself.
 """
 
 from __future__ import annotations
@@ -24,21 +26,46 @@ import time
 import numpy as np
 
 
-def main() -> None:
-    import jax
-    import jax.numpy as jnp
+def _bench_hit_adv(jax, jnp, B=64, N=1024):
+    from hitadv_tpu.attacks import base, hit_adv
+    from hitadv_tpu.data import synthetic_clouds
+    from hitadv_tpu.models import pointnet
+
+    params = pointnet.init(jax.random.PRNGKey(42))
+    logits_fn = lambda x: pointnet.apply(params, x)  # noqa: E731
+    adv_fn = base.make_adv_fn("logits", kappa=30.0, targeted=False)
+    cfg = hit_adv.HiTADVConfig()          # config of record (10 x 100)
+    attack = hit_adv.make_hit_adv(logits_fn, adv_fn, cfg)
+
+    pts, labels = synthetic_clouds(B, num_points=N, seed=0)
+    pts, labels = jnp.asarray(pts), jnp.asarray(labels)
+
+    res = attack(pts, labels, jax.random.PRNGKey(0))   # compile
+    np.asarray(res.adv_points)
+    t0 = time.perf_counter()
+    res = attack(pts, labels, jax.random.PRNGKey(1))
+    np.asarray(res.adv_points)
+    dt = time.perf_counter() - t0
+    iters = cfg.binary_step * cfg.num_iter
+    return {
+        "examples_per_sec": B / dt,
+        "attack_seconds": dt,
+        "iters_per_sec": iters / dt,
+        "batch": B,
+        "points": N,
+    }
+
+
+def _bench_cw_iters(jax, jnp, B=64, N=1024, ITERS=100):
     from jax import lax
 
     from hitadv_tpu import losses
     from hitadv_tpu.attacks import base
     from hitadv_tpu.models import pointnet
 
-    B, N, ITERS = 64, 1024, 100
-
     params = pointnet.init(jax.random.PRNGKey(0))
     logits_fn = lambda x: pointnet.apply(params, x)  # noqa: E731
     adv_fn = base.make_adv_fn("logits", kappa=30.0, targeted=False)
-
     pts = jnp.asarray(np.random.RandomState(0)
                       .randn(B, N, 3).astype(np.float32) * 0.5)
     labels = jnp.zeros((B,), jnp.int32)
@@ -53,9 +80,9 @@ def main() -> None:
             dl = losses.chamfer_dist(adv, pts) * weight
             return jnp.mean(al + dl), logits
 
-        (_, logits), grad = jax.value_and_grad(loss_fn, has_aux=True)(adv)
+        (_, logits), grad = jax.value_and_grad(loss_fn,
+                                               has_aux=True)(adv)
         new_adv, opt_state = base.adam_update(grad, opt_state, adv, 1e-2)
-        # per-example best bookkeeping (replaces the reference's host sync)
         dist = jnp.sqrt(jnp.sum((adv - pts) ** 2, axis=(1, 2)))
         pred = jnp.argmax(logits, axis=-1)
         better = (dist < best_dist) & (pred != labels)
@@ -66,40 +93,42 @@ def main() -> None:
     def run(pts):
         init = (pts, base.adam_init(pts), jnp.full((B,), 1e10))
         (adv, _, best), _ = lax.scan(one_iter, init, None, length=ITERS)
-        return adv, best
+        return adv
 
-    adv, best = run(pts)
-    jax.block_until_ready(adv)
-
+    np.asarray(run(pts))
     t0 = time.perf_counter()
-    reps = 3
-    for _ in range(reps):
-        adv, best = run(pts)
-    jax.block_until_ready(adv)
-    dt = (time.perf_counter() - t0) / reps
+    np.asarray(run(pts))
+    dt = time.perf_counter() - t0
+    return ITERS / dt
 
-    iters_per_sec = ITERS / dt
-    examples_iters_per_sec = ITERS * B / dt
 
-    # Reference baseline: no published numbers (BASELINE.md). vs_baseline
-    # compares against the >10x-per-chip target expressed as iters/sec if
-    # provided by the driver; else report the raw ratio placeholder 1.0.
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    hit = _bench_hit_adv(jax, jnp)
+    cw_iters = _bench_cw_iters(jax, jnp)
+
     baseline = None
     try:
         with open("BASELINE.json") as f:
             baseline = json.load(f).get("published", {}).get(
-                "attack_iters_per_sec")
+                "attack_examples_per_sec")
     except Exception:
         pass
-    vs = (iters_per_sec / baseline) if baseline else 1.0
+    vs = (hit["examples_per_sec"] / baseline) if baseline else 1.0
 
     print(json.dumps({
-        "metric": "cw_attack_iters_per_sec_B64_N1024_pointnet",
-        "value": round(iters_per_sec, 2),
-        "unit": "iters/s/chip",
+        "metric": "hitadv_attack_examples_per_sec_B64_N1024_pointnet",
+        "value": round(hit["examples_per_sec"], 2),
+        "unit": "examples/s/chip",
         "vs_baseline": round(vs, 3),
-        "extra": {"batch": B, "points": N,
-                  "example_iters_per_sec": round(examples_iters_per_sec, 1)},
+        "extra": {
+            "hitadv_attack_seconds": round(hit["attack_seconds"], 2),
+            "hitadv_iters_per_sec": round(hit["iters_per_sec"], 1),
+            "cw_perturb_iters_per_sec": round(cw_iters, 1),
+            "batch": hit["batch"], "points": hit["points"],
+        },
     }))
 
 

@@ -17,3 +17,10 @@ from hitadv_tpu.data.geoa3_mat import (  # noqa: F401
     GeoA3ModelNet40,
 )
 from hitadv_tpu.data import provider  # noqa: F401
+from hitadv_tpu.data.extra_h5 import (  # noqa: F401,E402
+    S3DISH5,
+    ScanNetBlocks,
+    ShapeNetPartH5,
+    load_data_partseg,
+    load_data_semseg,
+)

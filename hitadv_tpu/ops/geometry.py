@@ -189,7 +189,7 @@ def knn_points(query: jnp.ndarray, points: jnp.ndarray, k: int) -> KNNResult:
     exactly-tied distances may differ from the XLA sort path (harmless:
     downstream consumers are order-invariant reductions).
     """
-    if _pallas_active() and query.shape[-1] == 3 and k <= points.shape[1]:
+    if _pallas_active() and k <= points.shape[1]:
         dists, idx = _knn_pallas_diff(query, points, k)
         return KNNResult(dists=dists, idx=idx)
     return _knn_xla(query, points, k)

@@ -54,15 +54,25 @@ def _knn_kernel(q_ref, p_ref, pn_ref, dist_ref, idx_ref, *, k: int,
     q_ref: [1, TQ, 3] queries; p_ref: [1, N, 3] points;
     pn_ref: [1, 1, N] precomputed |p|^2; outputs [1, TQ, k_pad].
     """
-    q = q_ref[0]                                             # [TQ, 3]
-    p = p_ref[0]                                             # [N, 3]
+    q = q_ref[0]                                             # [TQ, C]
+    p = p_ref[0]                                             # [N, C]
     qn = jnp.sum(q * q, axis=-1, keepdims=True)              # [TQ, 1]
-    # |q|^2 + |p|^2 - 2 q.p with the cross term as three f32 rank-1
-    # products: the MXU would round inputs to bf16 (abs error ~1e-2,
-    # enough to flip neighbor order vs the XLA HIGHEST-precision path).
-    cross = (q[:, 0:1] * p[:, 0][None, :]
-             + q[:, 1:2] * p[:, 1][None, :]
-             + q[:, 2:3] * p[:, 2][None, :])                 # [TQ, N]
+    C = q.shape[-1]
+    if C <= 4:
+        # |q|^2 + |p|^2 - 2 q.p with the cross term as per-coordinate
+        # f32 rank-1 products: the MXU would round inputs to bf16 (abs
+        # error ~1e-2, enough to flip neighbor order vs the XLA
+        # HIGHEST-precision path), and at C=3 the MXU is idle anyway.
+        cross = q[:, 0:1] * p[:, 0][None, :]
+        for c in range(1, C):
+            cross += q[:, c:c + 1] * p[:, c][None, :]        # [TQ, N]
+    else:
+        # feature-space kNN (DGCNN edge conv, C up to 256): real matmul
+        # on the MXU at full f32 precision.
+        cross = jax.lax.dot_general(
+            q, p, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
     d = qn - 2.0 * cross + pn_ref[0]                         # [TQ, N]
 
     TQ, N = d.shape
@@ -96,7 +106,7 @@ def knn_pallas(query: jnp.ndarray, points: jnp.ndarray, k: int,
     Exact (not approximate); ties broken by lowest index, matching
     ``lax.top_k`` of the negative distance matrix.
     """
-    B, Nq, _ = query.shape
+    B, Nq, C = query.shape
     N = points.shape[1]
     tile_q = min(tile_q, max(8, Nq))
 
@@ -117,8 +127,8 @@ def knn_pallas(query: jnp.ndarray, points: jnp.ndarray, k: int,
         grid=grid,
         interpret=_interpret(),
         in_specs=[
-            pl.BlockSpec((1, tile_q, 3), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, Np, 3), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, tile_q, C), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, Np, C), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, 1, Np), lambda b, i: (b, 0, 0)),
         ],
         out_specs=[
