@@ -48,7 +48,8 @@ def eval_asr(logits_fn: Callable,
              key: Optional[jax.Array] = None,
              uniform_k: int = 5,
              log_dir: Optional[str] = None,
-             verbose: bool = True) -> Dict[str, float]:
+             verbose: bool = True,
+             progress: Optional[object] = None) -> Dict[str, float]:
     """Evaluate Attack Success Rate over a dataset.
 
     Args:
@@ -57,6 +58,9 @@ def eval_asr(logits_fn: Callable,
       batches: iterable of ``(points [B, N, 3|6] np, labels [B] np)``.
       key: PRNG key threaded through per-batch attack randomness.
       uniform_k: k of the uniformity metric (`eval.py` --k, default 5).
+      progress: optional `utils.training_aux.EvalProgress` — resumes a
+        preempted sweep (skips completed batches, restores accumulators,
+        checkpoints after each batch). No reference equivalent.
     Returns:
       dict with asr, knn_dist, uniform_dist, curv_std_dist, success_rate.
     """
@@ -68,11 +72,25 @@ def eval_asr(logits_fn: Callable,
     at_num = at_denom = 0.0
     adv_correct = total = 0.0
     n_batches = 0
+    skip_until = 0
+    if progress is not None and progress.next_batch > 0:
+        acc = progress.accumulators()
+        knn_sum = acc.get("knn_sum", 0.0)
+        uni_sum = acc.get("uni_sum", 0.0)
+        curv_sum = acc.get("curv_sum", 0.0)
+        at_num = acc.get("at_num", 0.0)
+        at_denom = acc.get("at_denom", 0.0)
+        adv_correct = acc.get("adv_correct", 0.0)
+        total = acc.get("total", 0.0)
+        n_batches = int(acc.get("n_batches", 0))
+        skip_until = progress.next_batch
 
-    for points, labels in batches:
+    for batch_index, (points, labels) in enumerate(batches):
+        key, sub = jax.random.split(key)
+        if batch_index < skip_until:
+            continue
         points = jnp.asarray(points, jnp.float32)
         labels = jnp.asarray(labels, jnp.int32)
-        key, sub = jax.random.split(key)
 
         result = attack_fn(points, labels, sub)
 
@@ -94,6 +112,13 @@ def eval_asr(logits_fn: Callable,
         if verbose and logger:
             logger.info(f"batch {n_batches}: attack success "
                         f"{int(result.success_num)}/{labels.shape[0]}")
+        if progress is not None:
+            progress.update(batch_index, {
+                "knn_sum": knn_sum, "uni_sum": uni_sum,
+                "curv_sum": curv_sum, "at_num": at_num,
+                "at_denom": at_denom, "adv_correct": adv_correct,
+                "total": total, "n_batches": n_batches,
+            })
 
     metrics = {
         "asr": at_num / (at_denom + 1e-9),
