@@ -47,3 +47,4 @@ from hitadv_tpu.attacks.add import (  # noqa: F401
     make_cw_add_clusters,
     make_cw_add_objects,
 )
+from hitadv_tpu.attacks.geoa3 import GeoA3Config, make_geoa3  # noqa: F401,E402

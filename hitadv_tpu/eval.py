@@ -159,6 +159,16 @@ def build_attack(cfg: EvalConfig, logits_fn: Callable,
             logits_fn, targeted_margin,
             cfg=attacks.AddObjectConfig(num_iter=cfg.num_iter))
 
+    if name in ("geoa3", "geoa3-untarget"):
+        return attacks.make_geoa3(
+            logits_fn,
+            attacks.GeoA3Config(
+                attack_lr=cfg.attack_lr,
+                binary_max_steps=cfg.binary_step,
+                iter_max_steps=cfg.num_iter,
+                curv_loss_knn=cfg.curv_loss_knn,
+                targeted=(name == "geoa3")))
+
     if name == "drop":
         return attacks.make_saliency_drop(
             logits_fn, attacks.DropConfig(num_drop=200, k=cfg.k))
