@@ -219,6 +219,8 @@ def main(argv=None) -> dict:
 
     parser = argparse.ArgumentParser("hitadv_tpu eval")
     add_config_flags(parser)
+    parser.add_argument("--resume", default=None,
+                        help="progress file for resumable sweeps")
     args = parser.parse_args(argv)
     cfg = config_from_args(args)
 
@@ -231,9 +233,16 @@ def main(argv=None) -> dict:
     if cfg.max_batches:
         batches = itertools.islice(batches, cfg.max_batches)
 
+    progress = None
+    if args.resume:
+        from hitadv_tpu.utils import EvalProgress
+
+        progress = EvalProgress(args.resume)
+
     metrics = eval_asr(logits_fn, attack, batches,
                        key=jax.random.PRNGKey(cfg.seed),
-                       uniform_k=cfg.k, log_dir=cfg.log_dir)
+                       uniform_k=cfg.k, log_dir=cfg.log_dir,
+                       progress=progress)
     print({k: round(float(v), 6) for k, v in metrics.items()})
     return metrics
 
