@@ -62,6 +62,11 @@ class EvalConfig:
     max_sigm: float = 1.2
     min_sigm: float = 0.1
 
+    # defenses (`eval.py:64-66`; flags exist in the reference but are
+    # unimplemented there — see hitadv_tpu/defense.py)
+    defense_method: Optional[str] = None
+    eval_defense_method: Optional[str] = None
+
     # eval harness
     seed: int = 0
     log_dir: str = "./log"

@@ -225,6 +225,12 @@ def main(argv=None) -> dict:
     cfg = config_from_args(args)
 
     _, logits_fn = build_model(cfg)
+    if getattr(cfg, "defense_method", None):
+        from hitadv_tpu.defense import defended_logits_fn, get_defense
+
+        logits_fn = defended_logits_fn(
+            logits_fn, get_defense(cfg.defense_method,
+                                   jax.random.PRNGKey(cfg.seed)))
     attack = build_attack(cfg, logits_fn)
     if cfg.n_devices and cfg.n_devices > 1:
         attack = shard_attack(attack, make_mesh(cfg.n_devices))

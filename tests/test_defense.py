@@ -1,0 +1,58 @@
+"""Defense pre-head tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hitadv_tpu import defense
+from hitadv_tpu.attacks import base, fgm
+from hitadv_tpu.data import synthetic_clouds
+from hitadv_tpu.models import pointnet
+
+
+class TestDefenses:
+    def test_sor_removes_outlier(self, rng):
+        pc = rng.rand(1, 64, 3).astype(np.float32)
+        pc[0, 0] = [50, 50, 50]                               # outlier
+        sor = defense.make_sor(k=2, alpha=1.1)
+        out = np.asarray(sor(jnp.array(pc)))
+        # the outlier point is snapped near the cloud
+        assert np.linalg.norm(out[0, 0]) < 10
+        # inliers untouched
+        np.testing.assert_allclose(out[0, 1:], pc[0, 1:], atol=1e-6)
+
+    def test_srs_static_shape_subset(self, rng):
+        pc = rng.rand(2, 64, 3).astype(np.float32)
+        srs = defense.make_srs(drop_num=16, key=jax.random.PRNGKey(0))
+        out = np.asarray(srs(jnp.array(pc)))
+        assert out.shape == pc.shape
+        ori_set = {tuple(np.round(p, 5)) for p in pc[0]}
+        for p in out[0]:
+            assert tuple(np.round(p, 5)) in ori_set
+
+    def test_jitter_bounds(self, rng):
+        pc = jnp.zeros((1, 32, 3))
+        jit = defense.make_jitter(sigma=1.0, clip=0.05)
+        out = np.asarray(jit(pc))
+        assert np.abs(out).max() <= 0.05 + 1e-7
+
+    def test_registry(self):
+        assert defense.get_defense(None) is None
+        assert defense.get_defense("sor") is not None
+        with pytest.raises(ValueError):
+            defense.get_defense("nope")
+
+    def test_attack_through_defense(self):
+        """The full pre_head pattern: attack a defended victim."""
+        params = pointnet.init(jax.random.PRNGKey(0))
+        logits_fn = lambda x: pointnet.apply(params, x)  # noqa: E731
+        defended = defense.defended_logits_fn(logits_fn,
+                                              defense.make_sor())
+        pts, labels = synthetic_clouds(2, num_points=64, seed=50)
+        attack = fgm.make_ifgsm(defended,
+                                base.make_adv_fn("cross_entropy"),
+                                fgm.FGMConfig(budget=0.1, num_iter=3))
+        res = attack(jnp.array(pts[..., :3]), jnp.array(labels),
+                     jax.random.PRNGKey(0))
+        assert np.isfinite(np.asarray(res.adv_points)).all()
