@@ -29,7 +29,14 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from hitadv_tpu.attacks.base import AttackResult, adam_init, adam_update
+from hitadv_tpu.attacks.base import (
+    AttackResult,
+    BestState,
+    adam_init,
+    adam_update,
+    binary_search_update,
+    update_best,
+)
 from hitadv_tpu.losses import (
     chamfer_dist,
     cross_entropy_loss,
@@ -161,8 +168,7 @@ def make_cw_add(logits_fn: Callable, adv_fn: Callable,
         cri = get_critical_points(logits_fn, ori, labels, cfg.num_add)
 
         def inner_iter(carry, _):
-            (adv, opt, weight, bestdist, bestscore, o_bestdist,
-             o_bestscore, o_bestadd) = carry
+            adv, opt, weight, best, o_best = carry
 
             def loss_fn(adv):
                 cat = jnp.concatenate([ori, adv], axis=1)
@@ -176,46 +182,34 @@ def make_cw_add(logits_fn: Callable, adv_fn: Callable,
             pred = jnp.argmax(logits, axis=-1)
             dist_val = dist_fn(adv, ori)
             ok = pred == labels
-            better = ok & (dist_val < bestdist)
-            bestdist = jnp.where(better, dist_val, bestdist)
-            bestscore = jnp.where(better, pred, bestscore)
-            o_better = ok & (dist_val < o_bestdist)
-            o_bestdist = jnp.where(o_better, dist_val, o_bestdist)
-            o_bestscore = jnp.where(o_better, pred, o_bestscore)
-            o_bestadd = jnp.where(o_better[:, None, None], adv, o_bestadd)
+            best = update_best(best, ok, dist_val, pred, adv)
+            o_best = update_best(o_best, ok, dist_val, pred, adv)
             adv, opt = adam_update(grad, opt, adv, cfg.attack_lr)
-            return (adv, opt, weight, bestdist, bestscore, o_bestdist,
-                    o_bestscore, o_bestadd), ()
+            return (adv, opt, weight, best, o_best), ()
 
         def binary_step(carry, step_key):
-            (lower, upper, weight, o_bestdist, o_bestscore, o_bestadd,
-             _) = carry
+            lower, upper, weight, o_best, _ = carry
             adv0 = cri + jax.random.normal(step_key, cri.shape) * 1e-7
             inner0 = (adv0, adam_init(adv0), weight,
-                      jnp.full((B,), 1e10), jnp.full((B,), -1, jnp.int32),
-                      o_bestdist, o_bestscore, o_bestadd)
-            (adv, _, _, bestdist, bestscore, o_bestdist, o_bestscore,
-             o_bestadd), _ = lax.scan(inner_iter, inner0, None,
-                                      length=cfg.num_iter)
-            found = (bestscore == labels) & (bestscore != -1) \
-                & (bestdist <= o_bestdist)
-            lower = jnp.where(found, jnp.maximum(lower, weight), lower)
-            upper = jnp.where(found, upper, jnp.minimum(upper, weight))
-            weight = (lower + upper) / 2.0
-            return (lower, upper, weight, o_bestdist, o_bestscore,
-                    o_bestadd, adv), ()
+                      BestState.init(adv0), o_best)
+            (adv, _, _, best, o_best), _ = lax.scan(
+                inner_iter, inner0, None, length=cfg.num_iter)
+            found = (best.score == labels) & (best.score != -1) \
+                & (best.dist <= o_best.dist)
+            lower, upper, weight = binary_search_update(found, lower,
+                                                        upper, weight)
+            return (lower, upper, weight, o_best, adv), ()
 
         step_keys = jax.random.split(key, cfg.binary_step)
         zeros_add = jnp.zeros((B, cfg.num_add, 3))
         init = (jnp.zeros((B,)), jnp.full((B,), cfg.max_weight),
                 jnp.full((B,), cfg.init_weight),
-                jnp.full((B,), 1e10), jnp.full((B,), -1, jnp.int32),
-                zeros_add, zeros_add)
-        (lower, _, _, _, _, o_bestadd, last_adv), _ = lax.scan(
+                BestState.init(zeros_add), zeros_add)
+        (lower, _, _, o_best, last_adv), _ = lax.scan(
             binary_step, init, step_keys)
 
         success = lower > 0.0
-        added = jnp.where(success[:, None, None], o_bestadd, last_adv)
+        added = jnp.where(success[:, None, None], o_best.adv, last_adv)
         adv_final = jnp.concatenate([ori, added], axis=1)
         pred = jnp.argmax(logits_fn(adv_final), axis=-1)
         return AttackResult(adv_points=adv_final, success=success,
@@ -389,8 +383,7 @@ def make_cw_add_objects(logits_fn: Callable, adv_fn: Callable,
             return l2_chamfer_dist(added, ori, objs, clean_objs)
 
         def inner_iter(carry, _):
-            (objs, shifts, angles, opts, weight, bestdist, bestscore,
-             o_bestdist, o_bestscore, o_bestadd) = carry
+            (objs, shifts, angles, opts, weight, best, o_best) = carry
 
             def loss_fn(objs, shifts, angles):
                 placed = rotate_shift(objs, angles, shifts)
@@ -407,14 +400,8 @@ def make_cw_add_objects(logits_fn: Callable, adv_fn: Callable,
             pred = jnp.argmax(logits, axis=-1)
             dist_val = dist(added, objs)
             ok = pred == labels
-            better = ok & (dist_val < bestdist)
-            bestdist = jnp.where(better, dist_val, bestdist)
-            bestscore = jnp.where(better, pred, bestscore)
-            o_better = ok & (dist_val < o_bestdist)
-            o_bestdist = jnp.where(o_better, dist_val, o_bestdist)
-            o_bestscore = jnp.where(o_better, pred, o_bestscore)
-            o_bestadd = jnp.where(o_better[:, None, None], added,
-                                  o_bestadd)
+            best = update_best(best, ok, dist_val, pred, added)
+            o_best = update_best(o_best, ok, dist_val, pred, added)
 
             op1, op2, op3 = opts
             objs, op1 = adam_update(grads[0], op1, objs, cfg.attack_lr)
@@ -424,12 +411,10 @@ def make_cw_add_objects(logits_fn: Callable, adv_fn: Callable,
                                       cfg.attack_lr)
             angles = jnp.mod(angles, 2.0 * jnp.pi)            # wrap (:337)
             return (objs, shifts, angles, (op1, op2, op3), weight,
-                    bestdist, bestscore, o_bestdist, o_bestscore,
-                    o_bestadd), ()
+                    best, o_best), ()
 
         def binary_step(carry, step_key):
-            (lower, upper, weight, o_bestdist, o_bestscore, o_bestadd,
-             _) = carry
+            lower, upper, weight, o_best, _ = carry
             k1, k2, k3 = jax.random.split(step_key, 3)
             objs0 = clean_objs + jax.random.normal(
                 k1, clean_objs.shape) * 1e-7
@@ -437,34 +422,29 @@ def make_cw_add_objects(logits_fn: Callable, adv_fn: Callable,
                 k2, centers0.shape) * 1e-7
             angles0 = jax.random.uniform(
                 k3, (B, cfg.num_add, 3)) * jnp.pi
+            zeros_add = jnp.zeros((B, A, 3))
             inner0 = (objs0, shifts0, angles0,
                       (adam_init(objs0), adam_init(shifts0),
                        adam_init(angles0)),
-                      weight, jnp.full((B,), 1e10),
-                      jnp.full((B,), -1, jnp.int32),
-                      o_bestdist, o_bestscore, o_bestadd)
-            (objs, shifts, angles, _, _, bestdist, bestscore, o_bestdist,
-             o_bestscore, o_bestadd), _ = lax.scan(
+                      weight, BestState.init(zeros_add), o_best)
+            (objs, shifts, angles, _, _, best, o_best), _ = lax.scan(
                 inner_iter, inner0, None, length=cfg.num_iter)
-            found = (bestscore == labels) & (bestscore != -1) \
-                & (bestdist <= o_bestdist)
-            lower = jnp.where(found, jnp.maximum(lower, weight), lower)
-            upper = jnp.where(found, upper, jnp.minimum(upper, weight))
-            weight = (lower + upper) / 2.0
+            found = (best.score == labels) & (best.score != -1) \
+                & (best.dist <= o_best.dist)
+            lower, upper, weight = binary_search_update(found, lower,
+                                                        upper, weight)
             last = rotate_shift(objs, angles, shifts).reshape(B, A, 3)
-            return (lower, upper, weight, o_bestdist, o_bestscore,
-                    o_bestadd, last), ()
+            return (lower, upper, weight, o_best, last), ()
 
         step_keys = jax.random.split(key, cfg.binary_step)
         zeros_add = jnp.zeros((B, A, 3))
         init = (jnp.zeros((B,)), jnp.full((B,), cfg.max_weight),
                 jnp.full((B,), cfg.init_weight),
-                jnp.full((B,), 1e10), jnp.full((B,), -1, jnp.int32),
-                zeros_add, zeros_add)
-        (lower, _, _, _, _, o_bestadd, last_adv), _ = lax.scan(
+                BestState.init(zeros_add), zeros_add)
+        (lower, _, _, o_best, last_adv), _ = lax.scan(
             binary_step, init, step_keys)
         success = lower > 0.0
-        added = jnp.where(success[:, None, None], o_bestadd, last_adv)
+        added = jnp.where(success[:, None, None], o_best.adv, last_adv)
         adv_final = jnp.concatenate([ori, added], axis=1)
         pred = jnp.argmax(logits_fn(adv_final), axis=-1)
         return AttackResult(adv_points=adv_final, success=success,

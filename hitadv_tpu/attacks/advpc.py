@@ -18,7 +18,13 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from hitadv_tpu.attacks.base import AttackResult, adam_init, adam_update
+from hitadv_tpu.attacks.base import (
+    AttackResult,
+    BestState,
+    adam_init,
+    adam_update,
+    update_best,
+)
 
 
 @dataclass(frozen=True)
@@ -51,11 +57,11 @@ def make_advpc(logits_fn: Callable, ae_fn: Callable, adv_fn: Callable,
         truth = labels if y_truth is None else y_truth
 
         def restart(carry, step_key):
-            o_bestdist, o_bestscore, o_bestattack, _ = carry
+            o_best, _ = carry
             adv0 = ori + jax.random.normal(step_key, ori.shape) * 1e-7
 
             def inner(carry, _):
-                adv, opt, o_bestdist, o_bestscore, o_bestattack = carry
+                adv, opt, o_best = carry
 
                 def loss_fn(adv):
                     l = (1.0 - cfg.gamma) * jnp.mean(
@@ -75,27 +81,20 @@ def make_advpc(logits_fn: Callable, ae_fn: Callable, adv_fn: Callable,
                     ok = (pred == labels) & (ae_pred != truth)
                 else:
                     ok = (pred != labels) & (ae_pred != labels)
-                better = ok & (dist < o_bestdist)
-                o_bestdist = jnp.where(better, dist, o_bestdist)
-                o_bestscore = jnp.where(better, pred, o_bestscore)
-                o_bestattack = jnp.where(better[:, None, None], adv,
-                                         o_bestattack)
-                return (adv, opt, o_bestdist, o_bestscore,
-                        o_bestattack), ()
+                o_best = update_best(o_best, ok, dist, pred, adv)
+                return (adv, opt, o_best), ()
 
-            (adv, _, o_bestdist, o_bestscore, o_bestattack), _ = lax.scan(
-                inner, (adv0, adam_init(adv0), o_bestdist, o_bestscore,
-                        o_bestattack), None, length=cfg.num_iter)
-            return (o_bestdist, o_bestscore, o_bestattack, adv), ()
+            (adv, _, o_best), _ = lax.scan(
+                inner, (adv0, adam_init(adv0), o_best), None,
+                length=cfg.num_iter)
+            return (o_best, adv), ()
 
         step_keys = jax.random.split(key, cfg.binary_step)
-        init = (jnp.full((B,), 1e10), jnp.full((B,), -1, jnp.int32),
-                jnp.zeros_like(ori), jnp.zeros_like(ori))
-        (o_bestdist, o_bestscore, o_bestattack, last_adv), _ = lax.scan(
-            restart, init, step_keys)
+        init = (BestState.init(ori), jnp.zeros_like(ori))
+        (o_best, last_adv), _ = lax.scan(restart, init, step_keys)
 
-        found = o_bestscore >= 0
-        adv_final = jnp.where(found[:, None, None], o_bestattack,
+        found = o_best.score >= 0
+        adv_final = jnp.where(found[:, None, None], o_best.adv,
                               last_adv)
         adv_final = clip_fn(adv_final, ori)
         pred = jnp.argmax(logits_fn(adv_final), axis=-1)

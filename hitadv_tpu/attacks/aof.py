@@ -26,7 +26,13 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from hitadv_tpu.attacks.base import AttackResult, adam_init, adam_update
+from hitadv_tpu.attacks.base import (
+    AttackResult,
+    BestState,
+    adam_init,
+    adam_update,
+    update_best,
+)
 from hitadv_tpu.ops import geometry as G
 
 
@@ -115,14 +121,13 @@ def make_aof(logits_fn: Callable, adv_fn: Callable,
             return ok
 
         def restart(carry, step_key):
-            o_bestdist, o_bestscore, o_bestattack, _ = carry
+            o_best, _ = carry
             adv0 = ori + jax.random.normal(step_key, ori.shape) * 1e-7
             _, V = graph_laplacian(adv0, cfg.knn)
             lfc0, hfc0 = spectral_split(adv0, V)
 
             def inner(carry, _):
-                lfc, hfc, opt, o_bestdist, o_bestscore, o_bestattack = \
-                    carry
+                lfc, hfc, opt, o_best = carry
 
                 def loss_fn(lfc):
                     full_logits = logits_fn(lfc + hfc)
@@ -149,29 +154,21 @@ def make_aof(logits_fn: Callable, adv_fn: Callable,
                     ae_pred = pred
                 dist = jnp.sqrt(jnp.sum((adv - ori) ** 2, axis=(1, 2)))
                 ok = success_mask(pred, lfc_pred, ae_pred)
-                better = ok & (dist < o_bestdist)
-                o_bestdist = jnp.where(better, dist, o_bestdist)
-                o_bestscore = jnp.where(better, pred, o_bestscore)
-                o_bestattack = jnp.where(better[:, None, None], adv,
-                                         o_bestattack)
-                return (lfc, hfc, opt, o_bestdist, o_bestscore,
-                        o_bestattack), adv
+                o_best = update_best(o_best, ok, dist, pred, adv)
+                return (lfc, hfc, opt, o_best), adv
 
-            (lfc, hfc, _, o_bestdist, o_bestscore, o_bestattack), advs = \
-                lax.scan(inner, (lfc0, hfc0, adam_init(lfc0), o_bestdist,
-                                 o_bestscore, o_bestattack), None,
-                         length=cfg.num_iter)
-            return (o_bestdist, o_bestscore, o_bestattack, advs[-1]), ()
+            (lfc, hfc, _, o_best), advs = lax.scan(
+                inner, (lfc0, hfc0, adam_init(lfc0), o_best), None,
+                length=cfg.num_iter)
+            return (o_best, advs[-1]), ()
 
         step_keys = jax.random.split(key, cfg.binary_step)
-        init = (jnp.full((B,), 1e10), jnp.full((B,), -1, jnp.int32),
-                jnp.zeros_like(ori), jnp.zeros_like(ori))
-        (o_bestdist, o_bestscore, o_bestattack, last_adv), _ = lax.scan(
-            restart, init, step_keys)
+        init = (BestState.init(ori), jnp.zeros_like(ori))
+        (o_best, last_adv), _ = lax.scan(restart, init, step_keys)
 
         # failures fall back to the last iterate, then a final clip (:224-231)
-        found = o_bestscore >= 0
-        adv_final = jnp.where(found[:, None, None], o_bestattack,
+        found = o_best.score >= 0
+        adv_final = jnp.where(found[:, None, None], o_best.adv,
                               last_adv)
         adv_final = clip_fn(adv_final, ori)
         pred = jnp.argmax(logits_fn(adv_final), axis=-1)

@@ -48,6 +48,47 @@ def make_adv_fn(name: str, kappa: float = 0.0,
 
 
 # ---------------------------------------------------------------------------
+# Shared CW-engine pieces: best-result bookkeeping + binary search
+# ---------------------------------------------------------------------------
+
+class BestState(NamedTuple):
+    """Per-example best-so-far record, carried on-device.
+
+    Replaces the reference's host-side python zip loops
+    (`CW/Perturb.py:129-141`, `ShapeAttack/HiT_ADV.py:204-217`).
+    ``adv`` may be any per-example array (``[B, ...]``).
+    """
+    dist: jnp.ndarray    # [B]
+    score: jnp.ndarray   # [B] int32 (pred at best, -1 = none)
+    adv: jnp.ndarray     # [B, ...]
+
+    @classmethod
+    def init(cls, template: jnp.ndarray) -> "BestState":
+        B = template.shape[0]
+        return cls(dist=jnp.full((B,), 1e10),
+                   score=jnp.full((B,), -1, jnp.int32),
+                   adv=jnp.zeros_like(template))
+
+
+def update_best(best: BestState, ok: jnp.ndarray, dist: jnp.ndarray,
+                pred: jnp.ndarray, adv: jnp.ndarray) -> BestState:
+    """Masked `dist < best ∧ ok` update with first/argmin semantics."""
+    better = ok & (dist < best.dist)
+    expand = better.reshape((-1,) + (1,) * (adv.ndim - 1))
+    return BestState(dist=jnp.where(better, dist, best.dist),
+                     score=jnp.where(better, pred, best.score),
+                     adv=jnp.where(expand, adv, best.adv))
+
+
+def binary_search_update(found: jnp.ndarray, lower: jnp.ndarray,
+                         upper: jnp.ndarray, weight: jnp.ndarray):
+    """Per-example weight bisection (`CW/Perturb.py:176-186`)."""
+    lower = jnp.where(found, jnp.maximum(lower, weight), lower)
+    upper = jnp.where(found, upper, jnp.minimum(upper, weight))
+    return lower, upper, (lower + upper) / 2.0
+
+
+# ---------------------------------------------------------------------------
 # Functional Adam (torch.optim.Adam parity)
 # ---------------------------------------------------------------------------
 

@@ -28,8 +28,11 @@ from jax import lax
 from hitadv_tpu.attacks.base import (
     AdamState,
     AttackResult,
+    BestState,
     adam_init,
     adam_update,
+    binary_search_update,
+    update_best,
 )
 from hitadv_tpu.losses import l2_dist
 
@@ -70,8 +73,7 @@ def make_cw_perturb(logits_fn: Callable, adv_fn: Callable,
         B, N = ori.shape[0], ori.shape[1]
 
         def inner_iter(carry, _):
-            adv, opt, weight, bestdist, bestscore, o_bestdist, \
-                o_bestscore, o_bestattack = carry
+            adv, opt, weight, best, o_best = carry
 
             def loss_fn(adv):
                 logits = logits_fn(adv)
@@ -87,52 +89,39 @@ def make_cw_perturb(logits_fn: Callable, adv_fn: Callable,
             # (`CW/Perturb.py:122-141`): dist/pred of the current iterate.
             dist_val = jnp.sqrt(jnp.sum((adv - ori) ** 2, axis=(1, 2)))
             ok = success_of(pred, labels)
-            better = ok & (dist_val < bestdist)
-            bestdist = jnp.where(better, dist_val, bestdist)
-            bestscore = jnp.where(better, pred, bestscore)
-            o_better = ok & (dist_val < o_bestdist)
-            o_bestdist = jnp.where(o_better, dist_val, o_bestdist)
-            o_bestscore = jnp.where(o_better, pred, o_bestscore)
-            o_bestattack = jnp.where(o_better[:, None, None], adv,
-                                     o_bestattack)
+            best = update_best(best, ok, dist_val, pred, adv)
+            o_best = update_best(o_best, ok, dist_val, pred, adv)
 
             adv, opt = adam_update(grad, opt, adv, cfg.attack_lr)
             if clip_fn is not None:
                 adv = clip_fn(adv, ori)
-            return (adv, opt, weight, bestdist, bestscore, o_bestdist,
-                    o_bestscore, o_bestattack), ()
+            return (adv, opt, weight, best, o_best), ()
 
         def binary_step(carry, step_key):
-            lower, upper, weight, o_bestdist, o_bestscore, o_bestattack, \
-                _ = carry
+            lower, upper, weight, o_best, _ = carry
             adv0 = ori + jax.random.normal(step_key, ori.shape) * 1e-7
             inner0 = (adv0, adam_init(adv0), weight,
-                      jnp.full((B,), 1e10), jnp.full((B,), -1, jnp.int32),
-                      o_bestdist, o_bestscore, o_bestattack)
-            (adv, _, _, bestdist, bestscore, o_bestdist, o_bestscore,
-             o_bestattack), _ = lax.scan(inner_iter, inner0, None,
-                                         length=cfg.num_iter)
+                      BestState.init(ori), o_best)
+            (adv, _, _, best, o_best), _ = lax.scan(
+                inner_iter, inner0, None, length=cfg.num_iter)
 
             # binary search weight update (`CW/Perturb.py:176-186`)
-            found = success_of(bestscore, labels) & (bestscore != -1) \
-                & (bestdist <= o_bestdist)
-            lower = jnp.where(found, jnp.maximum(lower, weight), lower)
-            upper = jnp.where(found, upper, jnp.minimum(upper, weight))
-            weight = (lower + upper) / 2.0
-            return (lower, upper, weight, o_bestdist, o_bestscore,
-                    o_bestattack, adv), ()
+            found = success_of(best.score, labels) & (best.score != -1) \
+                & (best.dist <= o_best.dist)
+            lower, upper, weight = binary_search_update(found, lower,
+                                                        upper, weight)
+            return (lower, upper, weight, o_best, adv), ()
 
         step_keys = jax.random.split(key, cfg.binary_step)
         init = (jnp.zeros((B,)), jnp.full((B,), cfg.max_weight),
                 jnp.full((B,), cfg.init_weight),
-                jnp.full((B,), 1e10), jnp.full((B,), -1, jnp.int32),
-                jnp.zeros_like(ori), jnp.zeros_like(ori))
-        (lower, _, _, o_bestdist, o_bestscore, o_bestattack,
-         last_adv), _ = lax.scan(binary_step, init, step_keys)
+                BestState.init(ori), jnp.zeros_like(ori))
+        (lower, _, _, o_best, last_adv), _ = lax.scan(
+            binary_step, init, step_keys)
 
         # failures fall back to the last iterate (`CW/Perturb.py:191-196`)
         success = lower > 0.0
-        adv_final = jnp.where(success[:, None, None], o_bestattack,
+        adv_final = jnp.where(success[:, None, None], o_best.adv,
                               last_adv)
         pred = jnp.argmax(logits_fn(adv_final), axis=-1)
         return AttackResult(adv_points=adv_final, success=success,

@@ -29,9 +29,12 @@ from jax import lax
 
 from hitadv_tpu.attacks.base import (
     AttackResult,
+    BestState,
     adam_init,
     adam_update,
+    binary_search_update,
     make_adv_fn,
+    update_best,
 )
 from hitadv_tpu.losses import clip_points_linf
 from hitadv_tpu.losses.distance import get_kappa, get_kappa_adv
@@ -107,8 +110,7 @@ def make_geoa3(logits_fn: Callable,
             return (pred == labels) if cfg.targeted else (pred != labels)
 
         def inner_iter(carry, it_key):
-            adv, opt, weight, bestdist, bestscore, o_bestdist, \
-                o_bestscore, o_bestattack = carry
+            adv, opt, weight, best, o_best = carry
 
             run_adv = adv
             if cfg.is_pre_jitter_input:
@@ -127,51 +129,39 @@ def make_geoa3(logits_fn: Callable,
             pred = jnp.argmax(logits, axis=-1)
 
             ok = success_of(pred)
-            better = ok & (dist_val < bestdist)
-            bestdist = jnp.where(better, dist_val, bestdist)
-            bestscore = jnp.where(better, pred, bestscore)
-            o_better = ok & (dist_val < o_bestdist)
-            o_bestdist = jnp.where(o_better, dist_val, o_bestdist)
-            o_bestscore = jnp.where(o_better, pred, o_bestscore)
-            o_bestattack = jnp.where(o_better[:, None, None], adv,
-                                     o_bestattack)
+            best = update_best(best, ok, dist_val, pred, adv)
+            o_best = update_best(o_best, ok, dist_val, pred, adv)
 
             adv, opt = adam_update(grad, opt, adv, cfg.attack_lr)
             if cfg.cc_linf > 0:
                 adv = clip_points_linf(adv, ori, cfg.cc_linf)
-            return (adv, opt, weight, bestdist, bestscore, o_bestdist,
-                    o_bestscore, o_bestattack), ()
+            return (adv, opt, weight, best, o_best), ()
 
         def binary_step(carry, step_key):
-            lower, upper, weight, o_bestdist, o_bestscore, o_bestattack, \
-                _ = carry
+            lower, upper, weight, o_best, _ = carry
             k0, k1 = jax.random.split(step_key)
             adv0 = ori + jax.random.normal(k0, ori.shape) * 1e-7
             it_keys = jax.random.split(k1, cfg.iter_max_steps)
             inner0 = (adv0, adam_init(adv0), weight,
-                      jnp.full((B,), 1e10), jnp.full((B,), -1, jnp.int32),
-                      o_bestdist, o_bestscore, o_bestattack)
-            (adv, _, _, bestdist, bestscore, o_bestdist, o_bestscore,
-             o_bestattack), _ = lax.scan(inner_iter, inner0, it_keys)
+                      BestState.init(ori), o_best)
+            (adv, _, _, best, o_best), _ = lax.scan(inner_iter, inner0,
+                                                    it_keys)
 
-            found = success_of(bestscore) & (bestscore != -1) \
-                & (bestdist <= o_bestdist)
-            lower = jnp.where(found, jnp.maximum(lower, weight), lower)
-            upper = jnp.where(found, upper, jnp.minimum(upper, weight))
-            weight = (lower + upper) / 2.0
-            return (lower, upper, weight, o_bestdist, o_bestscore,
-                    o_bestattack, adv), ()
+            found = success_of(best.score) & (best.score != -1) \
+                & (best.dist <= o_best.dist)
+            lower, upper, weight = binary_search_update(found, lower,
+                                                        upper, weight)
+            return (lower, upper, weight, o_best, adv), ()
 
         step_keys = jax.random.split(key, cfg.binary_max_steps)
         init = (jnp.zeros((B,)), jnp.full((B,), cfg.max_const),
                 jnp.full((B,), cfg.initial_const),
-                jnp.full((B,), 1e10), jnp.full((B,), -1, jnp.int32),
-                jnp.zeros_like(ori), jnp.zeros_like(ori))
-        (lower, _, _, o_bestdist, _, o_bestattack, last_adv), _ = \
+                BestState.init(ori), jnp.zeros_like(ori))
+        (lower, _, _, o_best, last_adv), _ = \
             lax.scan(binary_step, init, step_keys)
 
         success = lower > 0.0
-        adv_final = jnp.where(success[:, None, None], o_bestattack,
+        adv_final = jnp.where(success[:, None, None], o_best.adv,
                               last_adv)
         pred = jnp.argmax(logits_fn(adv_final), axis=-1)
         return AttackResult(adv_points=adv_final, success=success,

@@ -33,8 +33,11 @@ from jax import lax
 
 from hitadv_tpu.attacks.base import (
     AttackResult,
+    BestState,
     adam_init,
     adam_update,
+    binary_search_update,
+    update_best,
 )
 from hitadv_tpu.losses import chamfer_dist, cross_entropy_loss
 from hitadv_tpu.losses.distance import get_kappa, get_kappa_std
@@ -167,8 +170,8 @@ def make_hit_adv(logits_fn: Callable, adv_fn: Callable,
 
         # ---- stage 3: binary search over scale_const (:125-275) -------
         def inner_iter(carry, _):
-            (pert, delta, opt_p, opt_d, weight, bestdist, bestscore,
-             o_bestdist, o_bestscore, o_bestattack) = carry
+            (pert, delta, opt_p, opt_d, weight, best, o_best, _last) = \
+                carry
 
             # projection at iteration start (:164-166)
             pert = jnp.clip(pert, -cfg.budget, cfg.budget)
@@ -203,61 +206,46 @@ def make_hit_adv(logits_fn: Callable, adv_fn: Callable,
             # bookkeeping (:195-217): dist = per-example transformation
             dist_val = transformation_loss(pert, delta)
             ok = pred != labels
-            better = ok & (dist_val < bestdist)
-            bestdist = jnp.where(better, dist_val, bestdist)
-            bestscore = jnp.where(better, pred, bestscore)
-            o_better = ok & (dist_val < o_bestdist)
-            o_bestdist = jnp.where(o_better, dist_val, o_bestdist)
-            o_bestscore = jnp.where(o_better, pred, o_bestscore)
-            o_bestattack = jnp.where(o_better[:, None, None], tmp_adv,
-                                     o_bestattack)
+            best = update_best(best, ok, dist_val, pred, tmp_adv)
+            o_best = update_best(o_best, ok, dist_val, pred, tmp_adv)
 
             # two Adam groups: pert lr·5, delta lr·3 (:142-145)
             pert, opt_p = adam_update(g_pert, opt_p, pert,
                                       cfg.attack_lr * 5.0)
             delta, opt_d = adam_update(g_delta, opt_d, delta,
                                        cfg.attack_lr * 3.0)
-            return (pert, delta, opt_p, opt_d, weight, bestdist,
-                    bestscore, o_bestdist, o_bestscore, o_bestattack), \
-                (tmp_adv, dist_val)
+            return (pert, delta, opt_p, opt_d, weight, best, o_best,
+                    tmp_adv), ()
 
         def binary_step(carry, step_key):
-            (lower, upper, weight, o_bestdist, o_bestscore, o_bestattack,
-             _, __) = carry
+            lower, upper, weight, o_best, last = carry
             kp, kd = jax.random.split(step_key)
             pert0 = jax.random.uniform(kp, (B, Cn, 3)) * cfg.budget
             delta0 = (cfg.min_sigm + jax.random.uniform(kd, (B, Cn))
                       * (cfg.max_sigm - cfg.min_sigm))
 
             inner0 = (pert0, delta0, adam_init(pert0), adam_init(delta0),
-                      weight, jnp.full((B,), 1e10),
-                      jnp.full((B,), -1, jnp.int32),
-                      o_bestdist, o_bestscore, o_bestattack)
-            (pert, delta, _, _, _, bestdist, bestscore, o_bestdist,
-             o_bestscore, o_bestattack), (advs, dists) = lax.scan(
+                      weight, BestState.init(ori), o_best, last)
+            (pert, delta, _, _, _, best, o_best, last), _ = lax.scan(
                 inner_iter, inner0, None, length=cfg.num_iter)
 
             # weight update (:264-273)
-            found = (bestscore != labels) & (bestscore != -1) \
-                & (bestdist <= o_bestdist)
-            lower = jnp.where(found, jnp.maximum(lower, weight), lower)
-            upper = jnp.where(found, upper, jnp.minimum(upper, weight))
-            weight = (lower + upper) / 2.0
-            return (lower, upper, weight, o_bestdist, o_bestscore,
-                    o_bestattack, advs[-1], dists[-1]), ()
+            found = (best.score != labels) & (best.score != -1) \
+                & (best.dist <= o_best.dist)
+            lower, upper, weight = binary_search_update(found, lower,
+                                                        upper, weight)
+            return (lower, upper, weight, o_best, last), ()
 
         step_keys = jax.random.split(key, cfg.binary_step)
         init = (jnp.zeros((B,)), jnp.full((B,), cfg.max_weight),
                 jnp.full((B,), cfg.init_weight),
-                jnp.full((B,), 1e10), jnp.full((B,), -1, jnp.int32),
-                jnp.zeros_like(ori), jnp.zeros_like(ori),
-                jnp.zeros((B,)))
-        (lower, _, _, o_bestdist, _, o_bestattack, last_adv,
-         last_dist), _ = lax.scan(binary_step, init, step_keys)
+                BestState.init(ori), jnp.zeros_like(ori))
+        (lower, _, _, o_best, last_adv), _ = lax.scan(
+            binary_step, init, step_keys)
 
         # failure fallback to last iterate (:278-282)
         success = lower > 0.0
-        adv_final = jnp.where(success[:, None, None], o_bestattack,
+        adv_final = jnp.where(success[:, None, None], o_best.adv,
                               last_adv)
         pred = jnp.argmax(logits_fn(adv_final), axis=-1)
         return AttackResult(adv_points=adv_final, success=success,
