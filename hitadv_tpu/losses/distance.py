@@ -40,39 +40,43 @@ def l2_dist(adv_pc: jnp.ndarray, ori_pc: jnp.ndarray) -> jnp.ndarray:
 
 def _directed_mins(adv_pc: jnp.ndarray,
                    ori_pc: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Min squared distance each direction from one [B,N,N] matrix.
+    """Min squared distance each direction.
 
-    Parity: `util/set_distance.py:15-50` (batch_pairwise_dist + two mins).
-    Returns (adv→ori mins ``[B, Na]``, ori→adv mins ``[B, No]``).
+    Parity: `util/set_distance.py:15-50` (batch_pairwise_dist + two
+    mins). Implemented as two 1-NN queries so the TPU path uses the
+    fused Pallas kernel — the ``[B, N, N]`` matrix never touches HBM
+    (4.3 GB per call at B=256/N=1024 otherwise); the XLA fallback
+    computes the same dense-matrix mins. Returns
+    (adv→ori mins ``[B, Na]``, ori→adv mins ``[B, No]``).
     """
-    P = G.square_distance(ori_pc, adv_pc)                     # [B, No, Na]
-    return jnp.min(P, axis=1), jnp.min(P, axis=2)
+    a2o = G.knn_points(adv_pc, ori_pc, 1).dists[..., 0]       # [B, Na]
+    o2a = G.knn_points(ori_pc, adv_pc, 1).dists[..., 0]       # [B, No]
+    return a2o, o2a
+
+
+def _set_reduce(adv_pc, ori_pc, method, reduce_fn):
+    if method == "adv2ori":
+        return reduce_fn(
+            G.knn_points(adv_pc, ori_pc, 1).dists[..., 0], axis=1)
+    if method == "ori2adv":
+        return reduce_fn(
+            G.knn_points(ori_pc, adv_pc, 1).dists[..., 0], axis=1)
+    if method == "both":
+        a2o, o2a = _directed_mins(adv_pc, ori_pc)
+        return (reduce_fn(a2o, axis=1) + reduce_fn(o2a, axis=1)) / 2.0
+    raise ValueError(method)
 
 
 def chamfer_dist(adv_pc: jnp.ndarray, ori_pc: jnp.ndarray,
                  method: str = "adv2ori") -> jnp.ndarray:
     """Chamfer distance. Parity: `util/dist_utils.py:44-80`."""
-    a2o, o2a = _directed_mins(adv_pc, ori_pc)
-    loss1 = jnp.mean(a2o, axis=1)
-    loss2 = jnp.mean(o2a, axis=1)
-    if method == "adv2ori":
-        return loss1
-    if method == "ori2adv":
-        return loss2
-    return (loss1 + loss2) / 2.0
+    return _set_reduce(adv_pc, ori_pc, method, jnp.mean)
 
 
 def hausdorff_dist(adv_pc: jnp.ndarray, ori_pc: jnp.ndarray,
                    method: str = "adv2ori") -> jnp.ndarray:
     """Hausdorff distance. Parity: `util/dist_utils.py:83-119`."""
-    a2o, o2a = _directed_mins(adv_pc, ori_pc)
-    loss1 = jnp.max(a2o, axis=1)
-    loss2 = jnp.max(o2a, axis=1)
-    if method == "adv2ori":
-        return loss1
-    if method == "ori2adv":
-        return loss2
-    return (loss1 + loss2) / 2.0
+    return _set_reduce(adv_pc, ori_pc, method, jnp.max)
 
 
 # ---------------------------------------------------------------------------
