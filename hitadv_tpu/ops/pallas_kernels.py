@@ -126,6 +126,8 @@ def knn_pallas(query: jnp.ndarray, points: jnp.ndarray, k: int,
         kernel,
         grid=grid,
         interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
         in_specs=[
             pl.BlockSpec((1, tile_q, C), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, Np, C), lambda b, i: (b, 0, 0)),
