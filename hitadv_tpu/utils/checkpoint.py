@@ -17,6 +17,7 @@ dependency.
 
 from __future__ import annotations
 
+import os
 import pickle
 from typing import Any, Dict, Mapping, Tuple
 
@@ -97,3 +98,20 @@ def load_params(path: str) -> Dict:
     import jax
 
     return jax.tree_util.tree_map(jnp.asarray, np_params)
+
+
+def save_params_orbax(path: str, params: Dict) -> None:
+    """Orbax-backed checkpointing (multi-host-safe, async-capable) —
+    the production alternative to the pickle path (SURVEY.md §5 rebuild
+    note)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), params, force=True)
+
+
+def load_params_orbax(path: str) -> Dict:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(path))
