@@ -37,6 +37,37 @@ from jax import lax
 
 
 # ---------------------------------------------------------------------------
+# Input validation (trace-time; the CUDA lib's CHECK_CONTIGUOUS /
+# CHECK_IS_FLOAT analogue, `_ext-src/include/utils.h:1-25`)
+# ---------------------------------------------------------------------------
+
+_VALIDATE = True
+
+
+def set_validation(on: bool) -> None:
+    """Toggle trace-time shape/dtype contract checks."""
+    global _VALIDATE
+    _VALIDATE = on
+
+
+def _check_cloud(x, name: str, rank: int = 3) -> None:
+    if not _VALIDATE:
+        return
+    if x.ndim != rank:
+        raise ValueError(
+            f"{name}: expected rank-{rank} [B, N, C], got {x.shape}")
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        raise TypeError(f"{name}: expected float dtype, got {x.dtype}")
+
+
+def _check_idx(idx, name: str) -> None:
+    if not _VALIDATE:
+        return
+    if not jnp.issubdtype(idx.dtype, jnp.integer):
+        raise TypeError(f"{name}: expected int dtype, got {idx.dtype}")
+
+
+# ---------------------------------------------------------------------------
 # Pairwise distances
 # ---------------------------------------------------------------------------
 
@@ -51,6 +82,8 @@ def square_distance(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
     Returns:
       ``[B, N, M]`` squared distances.
     """
+    _check_cloud(src, "square_distance:src")
+    _check_cloud(dst, "square_distance:dst")
     # -2 x.y via MXU; the norms ride along as rank-1 broadcasts that XLA
     # fuses into the matmul epilogue. Precision HIGHEST is required: with
     # the TPU default (bf16 inputs) the absolute error (~1e-2 at unit
@@ -86,6 +119,8 @@ def index_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     Returns:
       ``[B, *idx.shape[1:], C]``.
     """
+    _check_cloud(points, "index_points:points")
+    _check_idx(idx, "index_points:idx")
     B, N, C = points.shape
     idx_flat = idx.reshape(B, -1)                             # [B, S*]
     out = jnp.take_along_axis(points, idx_flat[..., None], axis=1)
@@ -239,6 +274,7 @@ def farthest_point_sample(xyz: jnp.ndarray, npoint: int,
     Returns:
       ``[B, npoint]`` int32 indices.
     """
+    _check_cloud(xyz, "farthest_point_sample:xyz")
     if _pallas_active() and xyz.shape[-1] == 3:
         return _fps_pallas_nondiff(xyz, npoint, key, start_idx or 0)
     B, N, _ = xyz.shape
@@ -301,6 +337,8 @@ def query_ball_point(radius: float, nsample: int, xyz: jnp.ndarray,
     Returns:
       ``[B, S, nsample]`` int32 indices.
     """
+    _check_cloud(xyz, "query_ball_point:xyz")
+    _check_cloud(new_xyz, "query_ball_point:new_xyz")
     B, N, _ = xyz.shape
     S = new_xyz.shape[1]
     sqrdists = square_distance(new_xyz, xyz)                  # [B, S, N]
