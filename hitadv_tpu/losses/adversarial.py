@@ -20,6 +20,7 @@ def _margin_parts(logits: jnp.ndarray, targets: jnp.ndarray):
     `util/adv_utils.py:29-33` (the -10000 ensures the target class never
     wins the "other" max).
     """
+    logits = logits.astype(jnp.float32)  # robust under bf16 victims
     num_classes = logits.shape[-1]
     one_hot = jax.nn.one_hot(targets, num_classes, dtype=logits.dtype)
     real = jnp.sum(one_hot * logits, axis=-1)                 # [B]
@@ -50,5 +51,5 @@ def untargeted_logits_adv_loss(logits: jnp.ndarray, targets: jnp.ndarray,
 def cross_entropy_loss(logits: jnp.ndarray,
                        targets: jnp.ndarray) -> jnp.ndarray:
     """Per-example cross-entropy. Parity: `util/adv_utils.py:70-85`."""
-    logp = jax.nn.log_softmax(logits, axis=-1)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     return -jnp.take_along_axis(logp, targets[:, None], axis=-1)[:, 0]

@@ -25,6 +25,31 @@ import jax.numpy as jnp
 Params = Dict[str, jnp.ndarray]
 
 
+# Compute dtype for activations flowing between layers. None keeps f32
+# (exact parity with the torch victims). bfloat16 halves HBM traffic —
+# the victim forwards are bandwidth-bound, and the MXU rounds matmul
+# inputs to bf16 at DEFAULT precision anyway, so only the inter-op
+# activation precision changes. Attack quality is typically unaffected;
+# logits differ from torch at ~1e-2.
+_COMPUTE_DTYPE = None
+
+
+def set_compute_dtype(dtype) -> None:
+    """None (f32 parity) or jnp.bfloat16 (bandwidth-optimized)."""
+    global _COMPUTE_DTYPE
+    _COMPUTE_DTYPE = dtype
+
+
+def get_compute_dtype():
+    return _COMPUTE_DTYPE
+
+
+def _cast(x: jnp.ndarray) -> jnp.ndarray:
+    if _COMPUTE_DTYPE is not None and x.dtype != _COMPUTE_DTYPE:
+        return x.astype(_COMPUTE_DTYPE)
+    return x
+
+
 # ---------------------------------------------------------------------------
 # Linear / pointwise conv
 # ---------------------------------------------------------------------------
@@ -47,6 +72,13 @@ conv1x1_init = linear_init
 
 def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     """``[..., Cin] -> [..., Cout]`` matmul; bias optional."""
+    if _COMPUTE_DTYPE is not None:
+        y = jnp.matmul(_cast(x), _cast(p["w"]),
+                       preferred_element_type=jnp.float32)
+        y = y.astype(_COMPUTE_DTYPE)
+        if "b" in p:
+            y = y + _cast(p["b"])
+        return y
     y = jnp.matmul(x, p["w"], preferred_element_type=jnp.float32)
     if "b" in p:
         y = y + p["b"]
@@ -97,7 +129,9 @@ def batchnorm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     here).
     """
     inv = jax.lax.rsqrt(p["var"] + eps)
-    return (x - p["mean"]) * (inv * p["scale"]) + p["bias"]
+    y = (x.astype(jnp.float32) - p["mean"]) * (inv * p["scale"]) \
+        + p["bias"]
+    return _cast(y)
 
 
 # ---------------------------------------------------------------------------
