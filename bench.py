@@ -107,9 +107,26 @@ def _bench_cw_iters(jax, jnp, B=64, N=1024, ITERS=100):
     return ITERS / dt
 
 
+def _enable_compile_cache(jax) -> None:
+    """Persistent XLA compilation cache: the scanned attack programs
+    take minutes to compile through the remote-compile tunnel; caching
+    makes repeat bench runs start in seconds."""
+    import os
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache(jax)
 
     hit = _bench_hit_adv(jax, jnp)
     cw_iters = _bench_cw_iters(jax, jnp)

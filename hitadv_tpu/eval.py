@@ -146,10 +146,13 @@ def build_attack(cfg: EvalConfig, logits_fn: Callable,
                                 targeted=targeted)))
 
     if name == "add":
+        # reference default num_add=512 assumes N=1024; clamp for small
+        # clouds (critical-point top-k needs num_add <= N)
         return xyz_only(attacks.make_cw_add(
             logits_fn, targeted_margin,
             cfg=attacks.AddConfig(num_iter=cfg.num_iter,
-                                  binary_step=cfg.binary_step)))
+                                  binary_step=cfg.binary_step,
+                                  num_add=min(512, cfg.num_point))))
     if name == "add-cluster":
         return attacks.make_cw_add_clusters(
             logits_fn, targeted_margin,
