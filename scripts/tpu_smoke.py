@@ -6,6 +6,12 @@ Prints one PASS/FAIL line per attack; exits nonzero on any failure.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import argparse
 import sys
 import time
