@@ -189,3 +189,50 @@ class TestTrainAndEvalPipeline:
             uniform_k=2, verbose=False)
         assert metrics["clean_correct"] > 0
         assert metrics["asr"] > 0.2
+
+
+class TestShapeNetPart:
+    @pytest.fixture
+    def fake_root(self, tmp_path, rng):
+        import json
+
+        root = tmp_path / "snp"
+        root.mkdir()
+        (root / "synsetoffset2category.txt").write_text(
+            "Airplane\t02691156\nChair\t03001627\n")
+        ids = {"02691156": ["a1", "a2"], "03001627": ["c1"]}
+        test_list, train_list = [], []
+        for offset, names in ids.items():
+            (root / offset).mkdir()
+            for n in names:
+                pts = np.concatenate(
+                    [rng.randn(900, 6).astype(np.float32),
+                     rng.randint(0, 4, (900, 1)).astype(np.float32)], 1)
+                np.savetxt(root / offset / f"{n}.txt", pts, fmt="%.5f")
+                test_list.append(f"shape_data/{offset}/{n}")
+        (root / "train_test_split").mkdir()
+        for split, lst in (("train", []), ("val", []),
+                           ("test", test_list)):
+            (root / "train_test_split" /
+             f"shuffled_{split}_file_list.json").write_text(
+                json.dumps(lst))
+        return str(root)
+
+    def test_load_and_resample(self, fake_root):
+        ds = data.PartNormalDataset(fake_root, npoints=512,
+                                    split="test", normal_channel=True)
+        assert len(ds) == 3
+        pts, cls = ds[0]
+        assert pts.shape == (512, 6)
+        assert cls in (0, 1)
+        # unit-sphere normalized (resample may miss the extreme point)
+        m = np.linalg.norm(pts[:, :3], axis=1).max()
+        assert 0.5 < m <= 1 + 1e-5
+
+    def test_class_choice(self, fake_root):
+        ds = data.PartNormalDataset(fake_root, npoints=128,
+                                    split="test",
+                                    class_choice=["Chair"])
+        assert len(ds) == 1
+        _, cls = ds[0]
+        assert cls == 1
