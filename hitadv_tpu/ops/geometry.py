@@ -200,16 +200,18 @@ def _knn_pallas_bwd(k, res, grads):
     matching the selection semantics of the XLA top_k path)."""
     query, points, idx = res
     g_d, _ = grads                                            # [B, S, K]
-    neighbors = index_points(points, idx)                     # [B, S, K, 3]
-    diff = query[:, :, None, :] - neighbors                   # [B, S, K, 3]
+    qf = query.astype(jnp.float32)
+    pf = points.astype(jnp.float32)
+    neighbors = index_points(pf, idx)                         # [B, S, K, 3]
+    diff = qf[:, :, None, :] - neighbors                      # [B, S, K, 3]
     gq = jnp.sum(2.0 * g_d[..., None] * diff, axis=2)         # [B, S, 3]
     contrib = (-2.0 * g_d[..., None] * diff)                  # [B, S, K, 3]
     B, N, C = points.shape
-    gp = jnp.zeros((B, N, C), points.dtype)
+    gp = jnp.zeros((B, N, C), jnp.float32)
     flat_idx = idx.reshape(B, -1)
     gp = jax.vmap(lambda g, i, c: g.at[i].add(c))(
         gp, flat_idx, contrib.reshape(B, -1, C))
-    return gq, gp
+    return gq.astype(query.dtype), gp.astype(points.dtype)
 
 
 _knn_pallas_diff.defvjp(_knn_pallas_fwd, _knn_pallas_bwd)

@@ -112,6 +112,11 @@ def knn_pallas(query: jnp.ndarray, points: jnp.ndarray, k: int,
     B, Nq, C = query.shape
     N = points.shape[1]
     tile_q = min(tile_q, max(8, Nq))
+    # distances are always computed in f32 (bf16 victims feed bf16
+    # features here; Mosaic also rejects fp32-precision matmuls on bf16
+    # operands)
+    query = query.astype(jnp.float32)
+    points = points.astype(jnp.float32)
 
     pad_q = (-Nq) % tile_q
     if pad_q:
