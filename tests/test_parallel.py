@@ -77,3 +77,26 @@ class TestShardedAttack:
         res = shard_attack(attack, mesh)(pts, labels)
         shard_devices = {s.device for s in res.adv_points.addressable_shards}
         assert len(shard_devices) == 8
+
+
+class TestShardedHiTADV:
+    def test_hit_adv_sharded_matches(self, mesh):
+        """HiT-ADV's *global* min/max score normalization spans the
+        batch — under dim-0 sharding jit must insert cross-device
+        reductions; results must match the single-device program."""
+        from hitadv_tpu.attacks import hit_adv
+
+        pts, labels = synthetic_clouds(8, num_points=64, seed=22)
+        pts, labels = jnp.array(pts), jnp.array(labels)
+        params = pointnet.init(jax.random.PRNGKey(0))
+        logits_fn = lambda x: pointnet.apply(params, x)  # noqa: E731
+        adv_fn = base.make_adv_fn("logits", kappa=30.0, targeted=False)
+        cfg = hit_adv.HiTADVConfig(binary_step=1, num_iter=4,
+                                   central_num=8, total_central_num=16,
+                                   curv_loss_knn=4)
+        attack = hit_adv.make_hit_adv(logits_fn, adv_fn, cfg)
+        ref = attack(pts, labels, jax.random.PRNGKey(5))
+        got = shard_attack(attack, mesh)(pts, labels,
+                                         jax.random.PRNGKey(5))
+        np.testing.assert_allclose(np.asarray(got.adv_points),
+                                   np.asarray(ref.adv_points), atol=2e-5)
