@@ -22,7 +22,6 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from hitadv_tpu.ops import geometry as G
 

@@ -13,7 +13,7 @@ import argparse
 import functools
 from typing import Callable, Optional
 
-import numpy as np
+
 
 from hitadv_tpu.config import EvalConfig, add_config_flags, config_from_args
 
