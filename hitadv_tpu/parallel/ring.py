@@ -21,7 +21,10 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map  # jax >= 0.8
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from hitadv_tpu.ops.geometry import square_distance
 
@@ -65,7 +68,7 @@ def ring_chamfer(adv: jnp.ndarray, ori: jnp.ndarray, mesh: Mesh,
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(None, axis_name, None), P(None, axis_name, None)),
-        out_specs=P(), check_rep=False)
+        out_specs=P(), check_vma=False)
     def run(adv_l, ori_l):
         out = jnp.zeros((adv_l.shape[0],), adv_l.dtype)
         if method in ("adv2ori", "both"):
@@ -91,7 +94,7 @@ def ring_hausdorff(adv: jnp.ndarray, ori: jnp.ndarray, mesh: Mesh,
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(None, axis_name, None), P(None, axis_name, None)),
-        out_specs=P(), check_rep=False)
+        out_specs=P(), check_vma=False)
     def run(adv_l, ori_l):
         out = jnp.zeros((adv_l.shape[0],), adv_l.dtype)
         if method in ("adv2ori", "both"):
