@@ -63,40 +63,16 @@ def init(key: jax.Array, num_classes: int = 40,
     return p
 
 
-def _edge_conv(conv: Dict, bn: Dict, h: jnp.ndarray,
-               k: int) -> jnp.ndarray:
-    """One EdgeConv block with the matmul factored off the edge grid.
-
-    ``W·[x_j − x_i, x_i] = W1·x_j + (W2 − W1)·x_i`` (W = [W1; W2] along
-    the input-channel axis, matching the concat order of
-    get_graph_feature), and the eval-mode BN affine folds into both
-    projections. Per-edge work is then gather + add + leaky_relu + max —
-    the [B, N, k, 2C] edge tensor and its per-edge matmul never exist.
-    Bit-identical math to the reference's formulation up to float
-    reassociation (parity-tested).
-    """
-    C = h.shape[-1]
-    W = conv["w"]                                             # [2C, Cout]
-    W1, W2 = W[:C], W[C:]
-    # fold BN: y = (z - mean) * s + b, s = scale * rsqrt(var + eps)
-    s = bn["scale"] * jax.lax.rsqrt(bn["var"] + 1e-5)
-    shift = bn["bias"] - bn["mean"] * s
-    a = F.linear({"w": W1 * s[None, :]}, h)                   # [B, N, Cout]
-    b = F.linear({"w": (W2 - W1) * s[None, :]}, h) + shift
-
-    idx = G.knn_points(h, h, k).idx                           # [B, N, k]
-    e = G.index_points(a, idx) + b[:, :, None, :]             # [B,N,k,Cout]
-    return jnp.max(F.leaky_relu(e), axis=2)                   # [B, N, Cout]
-
-
 def make_apply(cfg: DGCNNConfig = DGCNNConfig()):
     def apply(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
         """x: [B, N, 3] -> logits [B, num_classes]."""
         feats = []
         h = x
         for i in range(1, 5):
-            h = _edge_conv(params[f"conv{i}"], params[f"bn{i}"], h,
-                           cfg.k)
+            e = get_graph_feature(h, cfg.k)                   # [B,N,k,2C]
+            e = F.leaky_relu(F.batchnorm(params[f"bn{i}"],
+                                         F.linear(params[f"conv{i}"], e)))
+            h = jnp.max(e, axis=2)                            # [B, N, C']
             feats.append(h)
 
         h = jnp.concatenate(feats, axis=-1)                   # [B, N, 512]
