@@ -85,11 +85,19 @@ def add_config_flags(parser: argparse.ArgumentParser,
     """Auto-generate CLI flags from the dataclass fields."""
     for f in dataclasses.fields(cfg_cls):
         name = "--" + f.name
-        if f.type in ("bool", bool):
+        ann = str(f.type)
+        if f.type in ("bool", bool) or "bool" in ann:
             parser.add_argument(name, type=lambda s: s.lower() in
                                 ("1", "true", "yes"), default=f.default)
         elif f.default is None or isinstance(f.default, (int, float, str)):
-            typ = (type(f.default) if f.default is not None else str)
+            if f.default is not None:
+                typ = type(f.default)
+            elif "int" in ann:                  # Optional[int]
+                typ = int
+            elif "float" in ann:                # Optional[float]
+                typ = float
+            else:
+                typ = str
             parser.add_argument(name, type=typ, default=f.default)
 
 

@@ -236,3 +236,23 @@ class TestShapeNetPart:
         assert len(ds) == 1
         _, cls = ds[0]
         assert cls == 1
+
+
+class TestCLIMeshAndDefense:
+    def test_eval_cli_n_devices(self):
+        from hitadv_tpu.eval import main
+
+        m = main(["--dataset", "synthetic", "--batch_size", "8",
+                  "--num_point", "64", "--synthetic_size", "8",
+                  "--attack_type", "FGSM", "--budget", "0.1",
+                  "--n_devices", "8", "--log_dir", ""])
+        assert np.isfinite(m["asr"])
+
+    def test_eval_cli_defense(self):
+        from hitadv_tpu.eval import main
+
+        m = main(["--dataset", "synthetic", "--batch_size", "4",
+                  "--num_point", "64", "--synthetic_size", "4",
+                  "--attack_type", "FGSM", "--budget", "0.1",
+                  "--defense_method", "sor", "--log_dir", ""])
+        assert np.isfinite(m["asr"])
