@@ -14,3 +14,4 @@ from hitadv_tpu.parallel.mesh import (  # noqa: F401
     shard_attack,
 )
 from hitadv_tpu.parallel.ring import ring_chamfer, ring_hausdorff  # noqa: F401
+from hitadv_tpu.parallel.population import population_attack  # noqa: F401,E402

@@ -100,3 +100,44 @@ class TestShardedHiTADV:
                                          jax.random.PRNGKey(5))
         np.testing.assert_allclose(np.asarray(got.adv_points),
                                    np.asarray(ref.adv_points), atol=2e-5)
+
+
+class TestPopulationParallel:
+    def test_population_beats_or_matches_single(self, mesh):
+        """R independent PGD restarts across the mesh: per-example OR of
+        successes, deterministic first-success selection."""
+        from hitadv_tpu.parallel import population_attack
+
+        pts, labels = synthetic_clouds(8, num_points=64, seed=23)
+        pts, labels = jnp.array(pts[..., :3]), jnp.array(labels)
+        params = pointnet.init(jax.random.PRNGKey(1))
+        logits_fn = lambda x: pointnet.apply(params, x)  # noqa: E731
+        attack = fgm.make_pgd(logits_fn,
+                              base.make_adv_fn("cross_entropy"),
+                              fgm.FGMConfig(budget=0.05, num_iter=2))
+        key = jax.random.PRNGKey(0)
+        single = attack(pts, labels, jax.random.split(key, 8)[0])
+        pop = population_attack(attack, 8, mesh=mesh)(pts, labels, key)
+        s_single = np.asarray(single.success)
+        s_pop = np.asarray(pop.success)
+        assert (s_pop >= s_single).all()     # superset of successes
+        # successful picks really fool the victim
+        pred = np.asarray(
+            jnp.argmax(logits_fn(pop.adv_points), -1))
+        assert (pred[s_pop] != np.asarray(labels)[s_pop]).all()
+
+    def test_population_deterministic(self, mesh):
+        from hitadv_tpu.parallel import population_attack
+
+        pts, labels = synthetic_clouds(4, num_points=64, seed=24)
+        pts, labels = jnp.array(pts[..., :3]), jnp.array(labels)
+        params = pointnet.init(jax.random.PRNGKey(1))
+        logits_fn = lambda x: pointnet.apply(params, x)  # noqa: E731
+        attack = fgm.make_pgd(logits_fn,
+                              base.make_adv_fn("cross_entropy"),
+                              fgm.FGMConfig(budget=0.05, num_iter=2))
+        pop = population_attack(attack, 4, mesh=mesh)
+        r1 = pop(pts, labels, jax.random.PRNGKey(7))
+        r2 = pop(pts, labels, jax.random.PRNGKey(7))
+        np.testing.assert_array_equal(np.asarray(r1.adv_points),
+                                      np.asarray(r2.adv_points))
