@@ -49,7 +49,8 @@ def build_model(cfg: EvalConfig):
 
 
 def build_attack(cfg: EvalConfig, logits_fn: Callable,
-                 ae_fn: Optional[Callable] = None) -> Callable:
+                 ae_fn: Optional[Callable] = None,
+                 params=None) -> Callable:
     """Name-indexed attack registry (SURVEY.md §2.5 table).
 
     Returns ``attack(points [B, N, C], labels, key) -> AttackResult``
@@ -109,6 +110,22 @@ def build_attack(cfg: EvalConfig, logits_fn: Callable,
         uc = attacks.CWConfig(**{**cw_cfg.__dict__, "targeted": False})
         return xyz_only(attacks.make_cw_perturb(
             logits_fn, untargeted_margin, cfg=uc))
+    if name == "cw-lpips":
+        # CWPerturb with the LPIPS perceptual distance on the PointNet
+        # feature stack (`util/dist_utils.py:412-461` + feature model)
+        if cfg.model != "pointnet" or params is None:
+            raise ValueError("CW-LPIPS needs the pointnet feature model "
+                             "(pass params to build_attack)")
+        from hitadv_tpu.models import pointnet as pn
+
+        def lpips_fn(adv, ori):
+            return losses.lpips_distance(pn.features(params, adv),
+                                         pn.features(params, ori))
+
+        tc = attacks.CWConfig(**{**cw_cfg.__dict__, "targeted": True})
+        return xyz_only(attacks.make_cw_perturb(
+            logits_fn, targeted_margin, dist_fn=lpips_fn, cfg=tc))
+
     if name in ("cw-knn", "cw-uknn"):
         targeted = name == "cw-knn"
         adv = targeted_margin if targeted else untargeted_margin
@@ -233,14 +250,14 @@ def main(argv=None) -> dict:
 
         nnF.set_compute_dtype(jnp.bfloat16)
 
-    _, logits_fn = build_model(cfg)
+    params, logits_fn = build_model(cfg)
     if getattr(cfg, "defense_method", None):
         from hitadv_tpu.defense import defended_logits_fn, get_defense
 
         logits_fn = defended_logits_fn(
             logits_fn, get_defense(cfg.defense_method,
                                    jax.random.PRNGKey(cfg.seed)))
-    attack = build_attack(cfg, logits_fn)
+    attack = build_attack(cfg, logits_fn, params=params)
     if cfg.n_devices and cfg.n_devices > 1:
         attack = shard_attack(attack, make_mesh(cfg.n_devices))
 

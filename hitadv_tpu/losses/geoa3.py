@@ -143,9 +143,14 @@ def uniform_loss(adv_pc: jnp.ndarray,
     new_xyz = G.index_points(adv_pc, fps_idx)                 # [B, S, 3]
 
     loss = jnp.asarray(0.0, dtype=adv_pc.dtype)
+    n_terms = 0
     for p in percentages:
         p = p * 4
         nsample = int(n * p)
+        if nsample < 2:
+            # disk has no neighbor ring at this N (reference NaNs here;
+            # only reachable below N~128)
+            continue
         r = math.sqrt(p * radius)
         disk_area = math.pi * (radius ** 2) * p / nsample
         expect_len = math.sqrt(disk_area)
@@ -162,7 +167,8 @@ def uniform_loss(adv_pc: jnp.ndarray,
         ud = ((ud - expect_len) ** 2) / (expect_len + 1e-12)
         mean = jnp.mean(ud) * (p * 100.0) ** 2
         loss = loss + mean
-    return loss / len(percentages)
+        n_terms += 1
+    return loss / max(n_terms, 1)
 
 
 # ---------------------------------------------------------------------------
