@@ -230,10 +230,27 @@ def build_batches(cfg: EvalConfig):
                                num_workers=cfg.num_workers)
 
 
+def _enable_compile_cache(jax) -> None:
+    """Persistent XLA compilation cache (scanned attacks take minutes
+    to compile through the remote-compile tunnel on first use)."""
+    import os
+
+    cache_dir = os.environ.get(
+        "HITADV_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "hitadv_jax"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+
 def main(argv=None) -> dict:
     import itertools
 
     import jax
+
+    _enable_compile_cache(jax)
     from hitadv_tpu.evaluation import eval_asr
     from hitadv_tpu.parallel import make_mesh, shard_attack
 

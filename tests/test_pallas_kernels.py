@@ -105,3 +105,43 @@ class TestBackendDispatch:
         finally:
             G.set_backend("auto")
         assert res.idx.shape == (1, 32, 4)
+
+
+class TestEdgeShapes:
+    def test_fps_non_multiple_of_128(self, rng):
+        x = jnp.array(rng.randn(2, 300, 3).astype(np.float32))
+        ref = G.farthest_point_sample(x, 50, start_idx=0)
+        got = PK.fps_pallas(x, 50)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_knn_bf16_inputs(self, rng):
+        x32 = rng.randn(2, 128, 16).astype(np.float32)
+        xb = jnp.array(x32).astype(jnp.bfloat16)
+        d, i = PK.knn_pallas(xb, xb, 5)
+        assert d.dtype == jnp.float32
+        # agree with f32 XLA on the bf16-rounded values
+        ref = G._knn_xla(xb.astype(jnp.float32),
+                         xb.astype(jnp.float32), 5)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ref.idx))
+
+
+class TestPopulationWithHiTADV:
+    def test_composes(self, rng):
+        from hitadv_tpu.attacks import base, hit_adv
+        from hitadv_tpu.data import synthetic_clouds
+        from hitadv_tpu.models import pointnet
+        from hitadv_tpu.parallel import population_attack
+
+        pts, labels = synthetic_clouds(2, num_points=64, seed=60)
+        params = pointnet.init(jax.random.PRNGKey(0))
+        attack = hit_adv.make_hit_adv(
+            lambda x: pointnet.apply(params, x),
+            base.make_adv_fn("logits", 30.0, False),
+            hit_adv.HiTADVConfig(binary_step=1, num_iter=2,
+                                 central_num=8, total_central_num=16,
+                                 curv_loss_knn=4))
+        pop = population_attack(attack, 2)
+        res = pop(jnp.array(pts), jnp.array(labels),
+                  jax.random.PRNGKey(0))
+        assert res.adv_points.shape == (2, 64, 3)
+        assert np.isfinite(np.asarray(res.adv_points)).all()
