@@ -10,6 +10,7 @@ host synchronization.
 from hitadv_tpu.losses.adversarial import (  # noqa: F401
     cross_entropy_loss,
     logits_adv_loss,
+    smoothed_cross_entropy_loss,
     untargeted_logits_adv_loss,
 )
 from hitadv_tpu.losses.distance import (  # noqa: F401

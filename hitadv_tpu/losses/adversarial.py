@@ -53,3 +53,19 @@ def cross_entropy_loss(logits: jnp.ndarray,
     """Per-example cross-entropy. Parity: `util/adv_utils.py:70-85`."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     return -jnp.take_along_axis(logp, targets[:, None], axis=-1)[:, 0]
+
+
+def smoothed_cross_entropy_loss(logits: jnp.ndarray,
+                                targets: jnp.ndarray,
+                                eps: float = 0.2) -> jnp.ndarray:
+    """Label-smoothed CE (the DGCNN/PCT training loss).
+
+    Parity: `model/pct_utils.py:6-24` (cal_loss, smoothing=True):
+    one-hot*(1-eps) + eps/(K-1) on the off-classes.
+    """
+    logits = logits.astype(jnp.float32)
+    K = logits.shape[-1]
+    one_hot = jax.nn.one_hot(targets, K)
+    soft = one_hot * (1.0 - eps) + (1.0 - one_hot) * eps / (K - 1)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.sum(soft * logp, axis=-1)

@@ -297,3 +297,26 @@ class TestGradFlow:
         g = jax.grad(fn)(a, o)
         assert np.isfinite(np.asarray(g)).all()
         assert np.abs(np.asarray(g)).sum() > 0
+
+
+class TestSmoothedCE:
+    def test_matches_formula(self, rng):
+        logits = rng.randn(3, 8).astype(np.float32)
+        targets = rng.randint(0, 8, 3)
+        got = np.asarray(losses.smoothed_cross_entropy_loss(
+            jnp.array(logits), jnp.array(targets), eps=0.2))
+        p = softmax_np(logits)
+        logp = np.log(p)
+        for b in range(3):
+            soft = np.full(8, 0.2 / 7)
+            soft[targets[b]] = 0.8
+            want = -(soft * logp[b]).sum()
+            assert abs(got[b] - want) < 1e-5
+
+    def test_eps_zero_equals_ce(self, rng):
+        logits = jnp.array(rng.randn(4, 10).astype(np.float32))
+        targets = jnp.array(rng.randint(0, 10, 4))
+        a = losses.smoothed_cross_entropy_loss(logits, targets, eps=0.0)
+        b = losses.cross_entropy_loss(logits, targets)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6)
