@@ -8,42 +8,103 @@ N=1024) in examples attacked per second per chip. The whole attack is
 one XLA program (scanned binary search + Adam + bookkeeping) with the
 Pallas geometry backend active.
 
+Secondary metrics in "extra":
+  - mfu: model-FLOPs utilization of the flagship attack program —
+    XLA-reported FLOPs (``compiled.cost_analysis()['flops']``) divided
+    by wall-clock x chip peak (bf16). The reference publishes no FLOPs
+    accounting at all (SURVEY.md §6); this defines the perf record.
+  - dgcnn_examples_per_sec: HiT-ADV against DGCNN, the *hardest* victim
+    (gather/scatter-bound EdgeConv bwd), so the bench sees the hard case
+    and not just PointNet's best case.
+  - cw_perturb_iters_per_sec: the `CW/Perturb.py:95-173` hot loop.
+
 Baseline (BASELINE.md): the reference publishes no numbers; its measured
 quantity is per-phase wall-clock on 1x GPU. BASELINE.json's target is
 >10x per v5e chip. vs_baseline divides by
 ``published.attack_examples_per_sec`` from BASELINE.json when present,
 else 1.0 (unknown).
 
-Secondary metrics in "extra": CW-Perturb-style attack iterations/sec
-(the `CW/Perturb.py:95-173` hot loop) and the attack wall-clock itself.
+Env knobs (test/smoke use): ``HITADV_BENCH_SMOKE=1`` shrinks every
+config to seconds-on-CPU sizes so the JSON contract is testable without
+a TPU (tests/test_graft_entry.py).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
+SMOKE = os.environ.get("HITADV_BENCH_SMOKE") == "1"
 
-def _bench_hit_adv(jax, jnp, B=64, N=1024, bf16=True):
+# Peak dense matmul throughput per chip, used for MFU. TPU v5e:
+# 197 TFLOP/s bf16. (Bench runs with bf16 activations.)
+PEAK_FLOPS = {"tpu": 197e12, "cpu": 1e12, "gpu": 1e12}
+
+
+def _program_flops(jax, fn, *args):
+    """XLA-reported FLOPs for one execution of jit(fn)(*args)."""
+    try:
+        compiled = jax.jit(fn).lower(*args).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):   # older jax: per-device list
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", 0.0)) if ca else 0.0
+        return flops if flops > 0 else None
+    except Exception:
+        return None
+
+
+def _bench_hit_adv(jax, jnp, victim="pointnet", B=64, N=1024, bf16=True,
+                   want_flops=False):
     from hitadv_tpu.attacks import base, hit_adv
     from hitadv_tpu.data import synthetic_clouds
-    from hitadv_tpu.models import pointnet
+    from hitadv_tpu import models
     from hitadv_tpu.nn import functional as nnF
 
     # bf16 activations: ~1.6x on the victim fwd+bwd, 100% argmax
     # agreement with f32 (logit drift ~5e-4) — the production setting.
     nnF.set_compute_dtype(jnp.bfloat16 if bf16 else None)
 
-    params = pointnet.init(jax.random.PRNGKey(42))
-    logits_fn = lambda x: pointnet.apply(params, x)  # noqa: E731
+    if SMOKE:
+        B, N = 4, 64
+
+    init_fn, apply_fn = models.get_model(victim)
+    params = init_fn(jax.random.PRNGKey(42))
+    logits_fn = lambda x: apply_fn(params, x)  # noqa: E731
     adv_fn = base.make_adv_fn("logits", kappa=30.0, targeted=False)
     cfg = hit_adv.HiTADVConfig()          # config of record (10 x 100)
+    if SMOKE:
+        cfg = hit_adv.HiTADVConfig(binary_step=2, num_iter=3,
+                                   central_num=12, total_central_num=16,
+                                   curv_loss_knn=4)
     attack = hit_adv.make_hit_adv(logits_fn, adv_fn, cfg)
 
     pts, labels = synthetic_clouds(B, num_points=N, seed=0)
     pts, labels = jnp.asarray(pts), jnp.asarray(labels)
+
+    # Model-FLOPs for MFU: XLA's cost_analysis counts a lax.scan body
+    # ONCE (no trip-count multiplication), so analyzing the full attack
+    # program reports ~1 iteration's FLOPs. Instead analyze a one-
+    # iteration grad program (victim fwd+bwd + the attack's distance
+    # losses — the standard "model FLOPs" convention) and multiply by
+    # the iteration count.
+    flops = None
+    if want_flops:
+        from hitadv_tpu.losses import chamfer_dist
+
+        ori = jnp.asarray(pts)[..., :3]
+
+        def one_iter_loss(adv):
+            logits = logits_fn(adv)
+            return (jnp.mean(adv_fn(logits, labels))
+                    + jnp.mean(chamfer_dist(adv, ori)))
+
+        step_flops = _program_flops(jax, jax.grad(one_iter_loss), ori)
+        if step_flops:
+            flops = step_flops * cfg.binary_step * cfg.num_iter
 
     res = attack(pts, labels, jax.random.PRNGKey(0))   # compile
     np.asarray(res.adv_points)
@@ -52,13 +113,19 @@ def _bench_hit_adv(jax, jnp, B=64, N=1024, bf16=True):
     np.asarray(res.adv_points)
     dt = time.perf_counter() - t0
     iters = cfg.binary_step * cfg.num_iter
-    return {
+    out = {
         "examples_per_sec": B / dt,
         "attack_seconds": dt,
         "iters_per_sec": iters / dt,
         "batch": B,
         "points": N,
     }
+    if flops:
+        backend = jax.default_backend()
+        peak = PEAK_FLOPS.get(backend, 1e12)
+        out["flops"] = flops
+        out["mfu"] = (flops / dt) / peak
+    return out
 
 
 def _bench_cw_iters(jax, jnp, B=64, N=1024, ITERS=100):
@@ -67,6 +134,9 @@ def _bench_cw_iters(jax, jnp, B=64, N=1024, ITERS=100):
     from hitadv_tpu import losses
     from hitadv_tpu.attacks import base
     from hitadv_tpu.models import pointnet
+
+    if SMOKE:
+        B, N, ITERS = 4, 64, 5
 
     params = pointnet.init(jax.random.PRNGKey(0))
     logits_fn = lambda x: pointnet.apply(params, x)  # noqa: E731
@@ -111,8 +181,6 @@ def _enable_compile_cache(jax) -> None:
     """Persistent XLA compilation cache: the scanned attack programs
     take minutes to compile through the remote-compile tunnel; caching
     makes repeat bench runs start in seconds."""
-    import os
-
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".jax_cache")
     try:
@@ -126,9 +194,17 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    # The environment's sitecustomize imports jax (and pins the platform)
+    # at interpreter start, so a JAX_PLATFORMS env var alone is too late;
+    # re-assert it through the config (same recipe as tests/conftest.py).
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        jax.config.update("jax_platforms", want)
+
     _enable_compile_cache(jax)
 
-    hit = _bench_hit_adv(jax, jnp)
+    hit = _bench_hit_adv(jax, jnp, want_flops=True)
+    dgc = _bench_hit_adv(jax, jnp, victim="dgcnn", B=16)
     cw_iters = _bench_cw_iters(jax, jnp)
 
     baseline = None
@@ -140,17 +216,25 @@ def main() -> None:
         pass
     vs = (hit["examples_per_sec"] / baseline) if baseline else 1.0
 
+    extra = {
+        "hitadv_attack_seconds": round(hit["attack_seconds"], 2),
+        "hitadv_iters_per_sec": round(hit["iters_per_sec"], 1),
+        "cw_perturb_iters_per_sec": round(cw_iters, 1),
+        "dgcnn_examples_per_sec": round(dgc["examples_per_sec"], 3),
+        "dgcnn_attack_seconds": round(dgc["attack_seconds"], 2),
+        "dgcnn_batch": dgc["batch"],
+        "batch": hit["batch"], "points": hit["points"],
+    }
+    if "mfu" in hit:
+        extra["mfu"] = round(hit["mfu"], 4)
+        extra["attack_tflops"] = round(hit["flops"] / 1e12, 2)
+
     print(json.dumps({
         "metric": "hitadv_attack_examples_per_sec_B64_N1024_pointnet",
         "value": round(hit["examples_per_sec"], 2),
         "unit": "examples/s/chip",
         "vs_baseline": round(vs, 3),
-        "extra": {
-            "hitadv_attack_seconds": round(hit["attack_seconds"], 2),
-            "hitadv_iters_per_sec": round(hit["iters_per_sec"], 1),
-            "cw_perturb_iters_per_sec": round(cw_iters, 1),
-            "batch": hit["batch"], "points": hit["points"],
-        },
+        "extra": extra,
     }))
 
 
