@@ -51,7 +51,8 @@ class CWConfig:
 def make_cw_perturb(logits_fn: Callable, adv_fn: Callable,
                     dist_fn: Optional[Callable] = None,
                     cfg: CWConfig = CWConfig(),
-                    clip_fn: Optional[Callable] = None):
+                    clip_fn: Optional[Callable] = None,
+                    *, init_overrides=None):
     """CW perturbation attack with binary search.
 
     Args:
@@ -60,9 +61,17 @@ def make_cw_perturb(logits_fn: Callable, adv_fn: Callable,
       dist_fn: ``(adv, ori) -> [B]`` distance (default global L2,
         matching `eval.py`'s L2Dist choice for CWPerturb).
       clip_fn: optional ``(adv, ori) -> adv`` applied after each step.
+      init_overrides: optional ``{"noise": [S, B, N, 3]}`` pinning the
+        per-binary-step 1e-7 init noise (`CW/Perturb.py:79-80`) for
+        trajectory-parity testing — the noise *direction* sets the
+        iteration-0 L2-dist gradient, so cross-framework comparison
+        needs identical draws.
     """
     if dist_fn is None:
         dist_fn = l2_dist
+    if init_overrides is not None:
+        init_overrides = {k: jnp.asarray(v)
+                          for k, v in init_overrides.items()}
 
     def success_of(pred, target):
         return (pred == target) if cfg.targeted else (pred != target)
@@ -97,9 +106,13 @@ def make_cw_perturb(logits_fn: Callable, adv_fn: Callable,
                 adv = clip_fn(adv, ori)
             return (adv, opt, weight, best, o_best), ()
 
-        def binary_step(carry, step_key):
+        def binary_step(carry, step_in):
+            step_key, step_idx = step_in
             lower, upper, weight, o_best, _ = carry
-            adv0 = ori + jax.random.normal(step_key, ori.shape) * 1e-7
+            if init_overrides is not None:
+                adv0 = ori + init_overrides["noise"][step_idx]
+            else:
+                adv0 = ori + jax.random.normal(step_key, ori.shape) * 1e-7
             inner0 = (adv0, adam_init(adv0), weight,
                       BestState.init(ori), o_best)
             (adv, _, _, best, o_best), _ = lax.scan(
@@ -117,7 +130,8 @@ def make_cw_perturb(logits_fn: Callable, adv_fn: Callable,
                 jnp.full((B,), cfg.init_weight),
                 BestState.init(ori), jnp.zeros_like(ori))
         (lower, _, _, o_best, last_adv), _ = lax.scan(
-            binary_step, init, step_keys)
+            binary_step, init,
+            (step_keys, jnp.arange(cfg.binary_step)))
 
         # failures fall back to the last iterate (`CW/Perturb.py:191-196`)
         success = lower > 0.0

@@ -39,7 +39,7 @@ from hitadv_tpu.attacks.base import (
     binary_search_update,
     update_best,
 )
-from hitadv_tpu.losses import chamfer_dist, cross_entropy_loss
+from hitadv_tpu.losses import cross_entropy_loss
 from hitadv_tpu.losses.distance import get_kappa, get_kappa_std
 from hitadv_tpu.ops import geometry as G
 
@@ -72,24 +72,42 @@ def _global_minmax_norm(x: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
 
 
 def make_hit_adv(logits_fn: Callable, adv_fn: Callable,
-                 cfg: HiTADVConfig = HiTADVConfig()):
+                 cfg: HiTADVConfig = HiTADVConfig(),
+                 *, init_overrides=None):
     """Build the jitted HiT-ADV attack.
 
     Args:
       logits_fn: victim ``[B, N, 3] -> [B, C]``.
       adv_fn: per-example adversarial loss (the eval config uses the
         untargeted CW margin with kappa=30, `eval.py:85`).
+      init_overrides: optional dict pinning every random draw, for
+        trajectory-parity testing against the torch reference
+        (`ShapeAttack/HiT_ADV.py:130-137` inits + the random-start FPS
+        at `:502`): ``{"pert": [S, B, Cn, 3], "delta": [S, B, Cn]}``
+        arrays indexed by binary step; FPS switches to the
+        deterministic index-0 start.
     Returns:
       ``attack(points [B, N, 6], labels, key) -> AttackResult`` —
       normals required for the curvature scoring.
     """
     Cn = cfg.central_num
+    if init_overrides is not None:
+        init_overrides = {k: jnp.asarray(v)
+                          for k, v in init_overrides.items()}
 
     def kernel_density(central, ori, delta):
         """ker[b, j, n] = exp(-|ori_n - c_j| / (2 δ_j²)). Parity :298-304
-        (note: euclidean norm, NOT squared, in the exponent)."""
-        d = jnp.sqrt(jnp.maximum(
-            G.square_distance(central, ori), 1e-12))          # [B, Cn, N]
+        (note: euclidean norm, NOT squared, in the exponent).
+
+        The distance is the direct broadcast-subtract form (reference
+        `torch.norm(pc - central)`, :302), NOT the matmul-form
+        square_distance: central points coincide with cloud points, and
+        the |a|²+|b|²-2ab form loses ~5e-5 absolute near d=0 to
+        cancellation, which exp(-d/2δ²) amplifies ~50x at δ=0.1
+        (measured 2.6e-3 kernel error vs torch). XLA fuses the
+        subtract-square-reduce, so nothing [B,Cn,N,3] is materialized."""
+        diff = ori[:, None, :, :] - central[:, :, None, :]    # [B,Cn,N,3]
+        d = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-24)   # [B, Cn, N]
         return jnp.exp(-d / (2.0 * delta * delta)[..., None])
 
     def deform(ori, pert, ker):
@@ -140,8 +158,9 @@ def make_hit_adv(logits_fn: Callable, adv_fn: Callable,
 
         # ---- stage 2: central point selection (:74-93) ----------------
         key, fps_key = jax.random.split(key)
-        far_idx = G.farthest_point_sample(ori, cfg.total_central_num,
-                                          key=fps_key)
+        far_idx = G.farthest_point_sample(
+            ori, cfg.total_central_num,
+            key=None if init_overrides is not None else fps_key)
         far_points = G.index_points(ori, far_idx)             # [B, Tc, 3]
         far_knn = G.knn_points(far_points, ori, k + 1)        # idx [B,Tc,k+1]
         far_knn_points = G.index_points(ori, far_knn.idx)     # [B,Tc,k+1,3]
@@ -185,11 +204,25 @@ def make_hit_adv(logits_fn: Callable, adv_fn: Callable,
 
                 dist_loss = 0.0
                 if cfg.cd_weight != 0:
-                    dist_loss = dist_loss + jnp.mean(
-                        chamfer_dist(tmp_adv, ori) * cfg.cd_weight)
+                    # Reference quirk (:233-235): ChamferDist(adv2ori)
+                    # receives CHANNELS-FIRST [B, 3, N] clouds (its
+                    # docstring says [B, K, 3]), so the "chamfer" runs
+                    # over 3 points in N-dim space. Reproduced exactly:
+                    # mean_i min_j of the [B, 3, 3] pairwise squares
+                    # (`util/set_distance.py:44-46`).
+                    a_cf = jnp.swapaxes(tmp_adv, 1, 2)
+                    o_cf = jnp.swapaxes(ori, 1, 2)
+                    d33 = G.square_distance(a_cf, o_cf)     # [B, 3, 3]
+                    cd = jnp.mean(jnp.min(d33, axis=2), axis=1)  # [B]
+                    dist_loss = dist_loss + jnp.mean(cd * cfg.cd_weight)
                 if cfg.ker_weight != 0:
-                    dist_loss = dist_loss + jnp.mean(
-                        transformation_loss(pert, delta)) * cfg.ker_weight
+                    # batch_avg=True (:306-312): GLOBAL Frobenius norms
+                    # over the whole [B, Cn, 3] / [B, Cn] variables,
+                    # divided by Cn — NOT a mean of per-example norms
+                    # (so the term scales with batch size; faithful).
+                    t = (jnp.sqrt(jnp.sum(pert ** 2) + 1e-24)
+                         + jnp.sqrt(jnp.sum((1.0 - delta) ** 2) + 1e-24))
+                    dist_loss = dist_loss + (t / Cn) * cfg.ker_weight
                 if cfg.hide_weight != 0:
                     dist_loss = dist_loss + jnp.mean(
                         curv_std_loss(delta, central_kappa_std)
@@ -217,12 +250,17 @@ def make_hit_adv(logits_fn: Callable, adv_fn: Callable,
             return (pert, delta, opt_p, opt_d, weight, best, o_best,
                     tmp_adv), ()
 
-        def binary_step(carry, step_key):
+        def binary_step(carry, step_in):
+            step_key, step_idx = step_in
             lower, upper, weight, o_best, last = carry
-            kp, kd = jax.random.split(step_key)
-            pert0 = jax.random.uniform(kp, (B, Cn, 3)) * cfg.budget
-            delta0 = (cfg.min_sigm + jax.random.uniform(kd, (B, Cn))
-                      * (cfg.max_sigm - cfg.min_sigm))
+            if init_overrides is not None:
+                pert0 = init_overrides["pert"][step_idx]
+                delta0 = init_overrides["delta"][step_idx]
+            else:
+                kp, kd = jax.random.split(step_key)
+                pert0 = jax.random.uniform(kp, (B, Cn, 3)) * cfg.budget
+                delta0 = (cfg.min_sigm + jax.random.uniform(kd, (B, Cn))
+                          * (cfg.max_sigm - cfg.min_sigm))
 
             inner0 = (pert0, delta0, adam_init(pert0), adam_init(delta0),
                       weight, BestState.init(ori), o_best, last)
@@ -241,7 +279,8 @@ def make_hit_adv(logits_fn: Callable, adv_fn: Callable,
                 jnp.full((B,), cfg.init_weight),
                 BestState.init(ori), jnp.zeros_like(ori))
         (lower, _, _, o_best, last_adv), _ = lax.scan(
-            binary_step, init, step_keys)
+            binary_step, init,
+            (step_keys, jnp.arange(cfg.binary_step)))
 
         # failure fallback to last iterate (:278-282)
         success = lower > 0.0

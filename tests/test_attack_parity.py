@@ -1,0 +1,294 @@
+"""Attack-TRAJECTORY parity vs the torch reference, run live on CPU.
+
+Round 1 verified victim logit parity and loss-formula oracles; this file
+closes the attack-level gap (VERDICT.md Missing #2): the reference's own
+attack classes (`CW/Perturb.py:46-202`, `FGM/FGSM.py:8-300`,
+`ShapeAttack/HiT_ADV.py:44-287`) are executed at tiny configs with
+`.cuda()` no-op'd, identical victims (converted weights), and identical
+random draws, and our scanned engines must reproduce the returned
+adversarial clouds and success counts.
+
+Sources of controlled randomness:
+  * CW/IFGSM 1e-7 gaussian init noise — NOT matched across frameworks;
+    its effect is below the comparison tolerances.
+  * PGD's uniform random start — replicated on the torch side by
+    patching `Tensor.uniform_` with the exact array our PGD derives
+    from its key split.
+  * HiT-ADV's per-binary-step uniform inits + random-start FPS —
+    pinned via `make_hit_adv(init_overrides=...)` on our side and a
+    `torch.rand` queue + fixed-start FPS monkeypatch on the reference.
+
+Tolerances: both sides run f32 CPU with different op orderings, so
+trajectories drift ~1e-6/iter; coordinate agreement is asserted at the
+fraction level for sign-based attacks (a near-zero gradient coordinate
+can legitimately flip sign) and atol level for the smooth optimizers.
+"""
+
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import reference_harness as rh
+
+rh.install()
+
+pytestmark = pytest.mark.skipif(not rh.HAS_REFERENCE,
+                                reason="reference not mounted")
+
+B, N = 4, 64
+
+
+@pytest.fixture(scope="module")
+def victim():
+    return rh.build_pointnet_pair(seed=0)
+
+
+def _clean_labels(m, x):
+    """Labels = the victim's own clean predictions (so untargeted
+    success means an actual flip, and both frameworks agree at iter 0)."""
+    import torch
+
+    with torch.no_grad():
+        lg = m(torch.from_numpy(np.swapaxes(x[..., :3], 1, 2).copy()))
+        if isinstance(lg, tuple):
+            lg = lg[0]
+    return lg.argmax(1)
+
+
+def _jax_logits_fn(params):
+    from hitadv_tpu.models import pointnet
+
+    return lambda p: pointnet.apply(params, p)
+
+
+def _coord_match(a, b, atol):
+    return float(np.mean(np.abs(a - b) < atol))
+
+
+class TestFGMParity:
+    """`FGM/FGSM.py` one-step + iterative sign attacks."""
+
+    def test_fgsm(self, victim, monkeypatch):
+        rh.patch_cuda(monkeypatch)
+        import torch
+        from FGM.FGSM import FGSM
+        from util.adv_utils import CrossEntropyAdvLoss
+        from hitadv_tpu.attacks import base, fgm
+
+        m, params = victim
+        x = np.random.RandomState(1).randn(B, N, 3).astype(np.float32) * .5
+        labels = _clean_labels(m, x)
+
+        atk = FGSM(m, CrossEntropyAdvLoss(), budget=0.08, pre_head=None)
+        # FGSM.attack only transposes when shape[1] == 1024
+        # (`FGM/FGSM.py:76`) — feed it channels-first directly.
+        xt = torch.from_numpy(np.swapaxes(x, 1, 2).copy())
+        adv_ref, succ_ref = atk.attack(xt, labels, None)
+        adv_ref = adv_ref.numpy()                        # [B, N, 3]
+
+        ours = fgm.make_fgsm(_jax_logits_fn(params),
+                             base.make_adv_fn("cross_entropy"),
+                             fgm.FGMConfig(budget=0.08))
+        res = ours(jnp.asarray(x),
+                   jnp.asarray(labels.numpy().astype(np.int32)),
+                   jax.random.PRNGKey(0))
+        adv = np.asarray(res.adv_points)
+
+        # sign(grad) may flip on near-zero gradient coords — fraction-level
+        assert _coord_match(adv, adv_ref, 1e-5) > 0.99, (
+            _coord_match(adv, adv_ref, 1e-5))
+        assert int(res.success.sum()) == int(succ_ref)
+
+    def test_ifgsm(self, victim, monkeypatch):
+        rh.patch_cuda(monkeypatch)
+        import torch
+        from FGM.FGSM import IFGSM
+        from util.adv_utils import CrossEntropyAdvLoss
+        from util.clip_utils import ClipPointsLinf
+        from hitadv_tpu.attacks import base, fgm
+
+        m, params = victim
+        x = np.random.RandomState(2).randn(B, N, 3).astype(np.float32) * .5
+        labels = _clean_labels(m, x)
+
+        budget, step, iters = 0.08, 0.02, 8
+        atk = IFGSM(m, CrossEntropyAdvLoss(), ClipPointsLinf(budget),
+                    budget, step, iters, pre_head=None)
+        adv_ref, succ_ref = atk.attack(torch.from_numpy(x.copy()), labels)
+        adv_ref = adv_ref.numpy()
+
+        ours = fgm.make_ifgsm(
+            _jax_logits_fn(params), base.make_adv_fn("cross_entropy"),
+            fgm.FGMConfig(budget=budget, step_size=step, num_iter=iters))
+        res = ours(jnp.asarray(x),
+                   jnp.asarray(labels.numpy().astype(np.int32)),
+                   jax.random.PRNGKey(0))
+        adv = np.asarray(res.adv_points)
+
+        assert _coord_match(adv, adv_ref, 1e-4) > 0.98, (
+            _coord_match(adv, adv_ref, 1e-4))
+        assert int(res.success.sum()) == int(succ_ref)
+
+    def test_pgd(self, victim, monkeypatch):
+        rh.patch_cuda(monkeypatch)
+        import torch
+        from FGM.FGSM import PGD
+        from util.adv_utils import CrossEntropyAdvLoss
+        from util.clip_utils import ClipPointsLinf
+        from hitadv_tpu.attacks import base, fgm
+
+        m, params = victim
+        x = np.random.RandomState(3).randn(B, N, 3).astype(np.float32) * .5
+        labels = _clean_labels(m, x)
+        budget, step, iters = 0.08, 0.02, 6
+        key = jax.random.PRNGKey(7)
+
+        # replicate our make_pgd's internal key split (`attacks/fgm.py`)
+        # so the torch side starts from the identical perturbation
+        k1, _ = jax.random.split(key)
+        u = np.asarray(jax.random.uniform(
+            k1, x.shape, minval=-budget, maxval=budget))
+
+        def fake_uniform_(self, lo, hi):
+            assert tuple(self.shape) == u.shape
+            self.copy_(torch.from_numpy(u))
+            return self
+
+        monkeypatch.setattr(torch.Tensor, "uniform_", fake_uniform_,
+                            raising=False)
+        atk = PGD(m, CrossEntropyAdvLoss(), ClipPointsLinf(budget),
+                  budget, step, iters)
+        atk.pre_head = None
+        adv_ref, succ_ref = atk.attack(torch.from_numpy(x.copy()), labels)
+        adv_ref = adv_ref.numpy()
+
+        ours = fgm.make_pgd(
+            _jax_logits_fn(params), base.make_adv_fn("cross_entropy"),
+            fgm.FGMConfig(budget=budget, step_size=step, num_iter=iters))
+        res = ours(jnp.asarray(x),
+                   jnp.asarray(labels.numpy().astype(np.int32)), key)
+        adv = np.asarray(res.adv_points)
+
+        assert _coord_match(adv, adv_ref, 1e-4) > 0.98, (
+            _coord_match(adv, adv_ref, 1e-4))
+        assert int(res.success.sum()) == int(succ_ref)
+
+
+class TestCWPerturbParity:
+    """`CW/Perturb.py:46-202`: binary search + Adam + best bookkeeping."""
+
+    def test_trajectory_and_bookkeeping(self, victim, monkeypatch):
+        rh.patch_cuda(monkeypatch)
+        import torch
+        from CW.Perturb import CWPerturb
+        from util.adv_utils import LogitsAdvLoss
+        from util.dist_utils import L2Dist
+        from hitadv_tpu.attacks import base, cw
+
+        m, params = victim
+        x = np.random.RandomState(4).randn(B, N, 3).astype(np.float32) * .5
+        clean = _clean_labels(m, x)
+        # mixed targets: half "attack to current pred" (succeeds at
+        # iter 0 -> exercises the best-dist argmin + binary search
+        # success branch), half far targets (fails in 10 tiny iters ->
+        # exercises the last-iterate fallback, `CW/Perturb.py:191-196`)
+        target = clean.clone()
+        target[B // 2:] = (clean[B // 2:] + 17) % 40
+
+        # pin the per-step 1e-7 init noise: its *direction* is the
+        # iteration-0 L2-dist gradient, so it must match across
+        # frameworks (`CW/Perturb.py:79-80`)
+        S = 2
+        noise = np.random.RandomState(40).randn(
+            S, B, N, 3).astype(np.float32) * 1e-7
+        # torch draws [B, 3, K] then scales by 1e-7 itself
+        monkeypatch.setattr(
+            torch, "randn",
+            rh.RandQueue([np.swapaxes(noise[s], 1, 2) / 1e-7
+                          for s in range(S)]))
+
+        atk = CWPerturb(m, LogitsAdvLoss(kappa=1.0), L2Dist(),
+                        attack_lr=1e-2, init_weight=10., max_weight=80.,
+                        binary_step=S, num_iter=5)
+        adv_ref, succ_ref = atk.attack(torch.from_numpy(x.copy()), target)
+        # reference returns numpy [B, N, 3]
+
+        cfg = cw.CWConfig(attack_lr=1e-2, init_weight=10., max_weight=80.,
+                          binary_step=S, num_iter=5, targeted=True)
+        ours = cw.make_cw_perturb(
+            _jax_logits_fn(params),
+            base.make_adv_fn("logits", kappa=1.0, targeted=True),
+            cfg=cfg, init_overrides={"noise": noise})
+        res = ours(jnp.asarray(x),
+                   jnp.asarray(target.numpy().astype(np.int32)),
+                   jax.random.PRNGKey(0))
+        adv = np.asarray(res.adv_points)
+
+        np.testing.assert_allclose(adv, adv_ref, atol=2e-4)
+        assert int(res.success.sum()) == int(succ_ref)
+        # per-example success sense: first half targeted-hit
+        assert bool(np.all(np.asarray(res.success)[:B // 2]))
+
+
+class TestHiTADVParity:
+    """`ShapeAttack/HiT_ADV.py:44-287` with every random draw pinned."""
+
+    def test_trajectory(self, victim, monkeypatch):
+        rh.patch_cuda(monkeypatch)
+        import torch
+        from ShapeAttack.HiT_ADV import HiT_ADV
+        from util.adv_utils import UntargetedLogitsAdvLoss
+        from hitadv_tpu.attacks import base, hit_adv
+        from hitadv_tpu.data import synthetic_clouds
+
+        m, params = victim
+        pts, _ = synthetic_clouds(B, num_points=N, seed=5)   # [B, N, 6]
+        pts = np.asarray(pts, np.float32)
+        labels = _clean_labels(m, pts)
+
+        S, Cn, Tc, k = 2, 8, 12, 4
+        kwargs = dict(attack_lr=1e-2, init_weight=10., max_weight=80.,
+                      binary_step=S, num_iter=5, cd_weight=1e-4,
+                      ker_weight=1.0, hide_weight=1.0, curv_loss_knn=k,
+                      central_num=Cn, total_central_num=Tc,
+                      max_sigm=1.2, min_sigm=0.1, budget=0.55)
+        atk = HiT_ADV(m, UntargetedLogitsAdvLoss(kappa=30.), **kwargs)
+        monkeypatch.setattr(atk, "farthest_point_sample",
+                            rh.torch_fps_fixed_start())
+
+        draws = np.random.RandomState(11)
+        u_pert = draws.rand(S, B, Cn, 3).astype(np.float32)
+        u_delta = draws.rand(S, B, Cn).astype(np.float32)
+        queue = []
+        for s in range(S):
+            queue += [u_pert[s], u_delta[s]]
+        monkeypatch.setattr(torch, "rand", rh.RandQueue(queue))
+
+        adv_ref, succ_ref = atk.attack(torch.from_numpy(pts.copy()),
+                                       labels)
+        # reference returns numpy [B, N, 3]
+
+        cfg = hit_adv.HiTADVConfig(
+            attack_lr=1e-2, init_weight=10., max_weight=80.,
+            binary_step=S, num_iter=5, cd_weight=1e-4, ker_weight=1.0,
+            hide_weight=1.0, curv_loss_knn=k, central_num=Cn,
+            total_central_num=Tc, max_sigm=1.2, min_sigm=0.1,
+            budget=0.55)
+        overrides = {
+            "pert": u_pert * 0.55,
+            "delta": 0.1 + u_delta * (1.2 - 0.1),
+        }
+        ours = hit_adv.make_hit_adv(
+            _jax_logits_fn(params),
+            base.make_adv_fn("logits", kappa=30.0, targeted=False),
+            cfg, init_overrides=overrides)
+        res = ours(jnp.asarray(pts),
+                   jnp.asarray(labels.numpy().astype(np.int32)),
+                   jax.random.PRNGKey(0))
+        adv = np.asarray(res.adv_points)
+
+        np.testing.assert_allclose(adv, adv_ref, atol=2e-3)
+        assert int(res.success.sum()) == int(succ_ref)
