@@ -38,8 +38,8 @@ def _batch_metrics(logits_fn, ori_xyz, adv_xyz, ori_normal, labels,
     mask_adv = adv_pred == labels
     at_denom = jnp.sum(mask_ori)
     at_num = at_denom - jnp.sum(mask_ori & mask_adv)
-    clean_correct = jnp.sum(mask_adv)
-    return knn_d, uni_d, curv_d, at_num, at_denom, clean_correct
+    adv_correct = jnp.sum(mask_adv)    # surfaced as adv_accuracy
+    return knn_d, uni_d, curv_d, at_num, at_denom, adv_correct
 
 
 def eval_asr(logits_fn: Callable,

@@ -112,7 +112,7 @@ def conv1d(p: Params, x: jnp.ndarray, padding: str = "SAME") -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# BatchNorm (inference)
+# BatchNorm (inference by default; batch-stat mode inside bn_training())
 # ---------------------------------------------------------------------------
 
 def batchnorm_init(c: int) -> Params:
@@ -120,14 +120,59 @@ def batchnorm_init(c: int) -> Params:
             "mean": jnp.zeros((c,)), "var": jnp.ones((c,))}
 
 
+# When not None, batchnorm() normalizes with BATCH statistics (torch
+# train()-mode) and appends ``(id(p), batch_mean, batch_var_unbiased)``
+# so the caller can EMA-update the running stats. Trace-time only.
+_BN_TRAINING_RECORDS = None
+
+
+class bn_training:
+    """Context manager: train-mode BN, recording batch stats.
+
+    Torch semantics (the parity surface — torch BatchNorm1d/2d
+    ``train()``): forward normalizes with the *biased* batch variance;
+    the running-stat update uses the *unbiased* variance. The recorded
+    tuples let a training step apply ``new = (1-m)*old + m*batch``.
+    """
+
+    def __init__(self, records: list):
+        self.records = records
+
+    def __enter__(self):
+        global _BN_TRAINING_RECORDS
+        self._prev = _BN_TRAINING_RECORDS
+        _BN_TRAINING_RECORDS = self.records
+        return self.records
+
+    def __exit__(self, *exc):
+        global _BN_TRAINING_RECORDS
+        _BN_TRAINING_RECORDS = self._prev
+        return False
+
+
 def batchnorm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
-    """Eval-mode BN over the trailing channel dim.
+    """BN over the trailing channel dim.
 
     Works for both torch BatchNorm1d over features ``[B, C]`` and over
     point sequences ``[B, N, C]`` / groups ``[B, S, ns, C]`` (torch's
     BatchNorm1d/2d normalize dim 1 = channels; channels are trailing
-    here).
+    here). Eval mode uses the stored running stats; inside a
+    ``bn_training`` context the batch statistics are used and recorded.
     """
+    if _BN_TRAINING_RECORDS is not None:
+        xf = x.astype(jnp.float32)
+        axes = tuple(range(x.ndim - 1))
+        bm = jnp.mean(xf, axis=axes)
+        bv = jnp.var(xf, axis=axes)                   # biased (forward)
+        count = 1
+        for a in axes:
+            count *= x.shape[a]
+        unbiased = bv * (count / max(count - 1, 1))   # running update
+        _BN_TRAINING_RECORDS.append(
+            (id(p), jax.lax.stop_gradient(bm),
+             jax.lax.stop_gradient(unbiased)))
+        inv = jax.lax.rsqrt(bv + eps)
+        return _cast((xf - bm) * (inv * p["scale"]) + p["bias"])
     inv = jax.lax.rsqrt(p["var"] + eps)
     y = (x.astype(jnp.float32) - p["mean"]) * (inv * p["scale"]) \
         + p["bias"]

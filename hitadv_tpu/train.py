@@ -3,16 +3,16 @@
 The reference has NO training loop (victim checkpoints arrive
 out-of-band via a Baidu link, `README.md:24-26`). This module closes
 that gap so the framework is self-sufficient: a jitted cross-entropy
-Adam loop over any registered victim, with dropout off / BN folded into
-inference statistics updated by exponential moving average the torch way
-(momentum 0.1), so trained params drop straight into the eval path.
+Adam loop over any registered victim with real train-mode BatchNorm —
+the forward normalizes with batch statistics and the running stats are
+EMA-updated the torch way (momentum 0.1, unbiased variance), so trained
+params drop straight into the eval-mode attack path.
 """
 
 from __future__ import annotations
 
 import argparse
-from functools import partial
-from typing import Callable, Dict, Iterable, Optional, Tuple
+from typing import Callable, Dict
 
 import numpy as np
 import jax
@@ -20,39 +20,92 @@ import jax.numpy as jnp
 import optax
 
 from hitadv_tpu.losses import cross_entropy_loss
+from hitadv_tpu.nn import functional as nnF
 
 
-def _split_bn(params: Dict):
-    """Partition pytree leaves into (trainable, bn-stat) masks."""
-    def is_stat(path):
-        return path[-1].key in ("mean", "var")
+_BN_KEYS = frozenset(("scale", "bias", "mean", "var"))
 
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-    return {jax.tree_util.keystr(p): is_stat(p) for p, _ in flat}
+
+def _bn_paths(tree, prefix=()):
+    """Map id(bn-param-dict) -> pytree path for every BN dict."""
+    out = {}
+    if isinstance(tree, dict):
+        if set(tree.keys()) == _BN_KEYS:
+            out[id(tree)] = prefix
+        for k, v in tree.items():
+            out.update(_bn_paths(v, prefix + (k,)))
+    return out
+
+
+def _replace_at(tree, path, value):
+    """Functional set: new nested dict with tree[path] = value."""
+    if not path:
+        return value
+    new = dict(tree)
+    new[path[0]] = _replace_at(tree[path[0]], path[1:], value)
+    return new
 
 
 def make_train_step(apply_fn: Callable, optimizer,
-                    bn_momentum: float = 0.1):
-    """One SGD step. BN running stats are updated from batch statistics
-    captured via a stats-collecting forward (EMA, torch momentum
-    convention: new = (1-m)*old + m*batch).
+                    bn_momentum: float = 0.1,
+                    frozen_bn: bool = False):
+    """One SGD step with train-mode BN.
 
-    For simplicity (and because every victim here is attacked in eval
-    mode), training uses the *running* stats in the forward pass too —
-    i.e. frozen-BN training. This trains fine at the small scales the
-    framework needs (synthetic data, parity smoke victims).
+    The forward runs inside ``nnF.bn_training``: BatchNorm normalizes
+    with batch statistics, and each BN call records its batch
+    mean/unbiased-variance. Records are matched back to pytree paths by
+    the identity of the param sub-dicts (tracing order is
+    deterministic), then EMA-applied: ``new = (1-m)*old + m*batch``
+    (torch BatchNorm momentum convention).
+
+    ``frozen_bn=True`` restores the round-1 behavior (running stats
+    used in the forward and never updated) for ablation.
     """
 
     @jax.jit
     def step(params, opt_state, x, y):
-        def loss_fn(params):
-            logits = apply_fn(params, x)
-            return jnp.mean(cross_entropy_loss(logits, y)), logits
+        path_box = []           # static (trace-time) bn pytree paths
 
-        (loss, logits), grads = jax.value_and_grad(
+        def loss_fn(params_in):
+            if frozen_bn:
+                logits = apply_fn(params_in, x)
+                return (jnp.mean(cross_entropy_loss(logits, y)),
+                        (logits, []))
+            records = []
+            with nnF.bn_training(records):
+                logits = apply_fn(params_in, x)
+            paths = _bn_paths(params_in)
+            path_box[:] = [paths[rid] for rid, _, _ in records]
+            stats = [(bm, bv) for _, bm, bv in records]
+            return jnp.mean(cross_entropy_loss(logits, y)), (logits,
+                                                             stats)
+
+        (loss, (logits, stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
+        if frozen_bn:
+            # running stats feed the frozen forward, so they DO receive
+            # gradients — mask them or the optimizer trains the stats
+            # (round-1 bug: neither frozen nor torch semantics).
+            def _zero_stats(path, g):
+                if path and getattr(path[-1], "key", None) in ("mean",
+                                                               "var"):
+                    return jnp.zeros_like(g)
+                return g
+            grads = jax.tree_util.tree_map_with_path(_zero_stats, grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+
+        for path, (bm, bv) in zip(path_box, stats):
+            bn = params
+            for k in path:
+                bn = bn[k]
+            new_bn = dict(bn)
+            new_bn["mean"] = (1 - bn_momentum) * bn["mean"] \
+                + bn_momentum * bm
+            new_bn["var"] = (1 - bn_momentum) * bn["var"] \
+                + bn_momentum * bv
+            params = _replace_at(params, path, new_bn)
+
         acc = jnp.mean(jnp.argmax(logits, -1) == y)
         return params, opt_state, loss, acc
 

@@ -241,6 +241,27 @@ class TestGeoA3:
         l2 = float(losses.uniform_loss(jnp.array(pc)))
         assert l1 == l2
 
+    @pytest.mark.parametrize("n", [100, 124, 125, 128, 256])
+    def test_uniform_loss_small_n_crossover(self, n):
+        """Pin the documented deviation: the reference's uniform_loss
+        NaNs when a disk has no neighbor ring (`FGM/GeoA3_args.py:
+        258-303`, nsample = int(n*4p) < 2, reachable below N=125 for
+        p=0.004); ours skips exactly those percentage terms and
+        averages over the survivors. The crossover is int(n*4p) >= 2,
+        i.e. all five terms are active iff N >= 125."""
+        ps = (0.004, 0.006, 0.008, 0.010, 0.012)
+        active = tuple(p for p in ps if int(n * p * 4) >= 2)
+        assert (len(active) == len(ps)) == (n >= 125)
+
+        pc = np.random.RandomState(n).rand(2, n, 3).astype(np.float32)
+        full = float(losses.uniform_loss(jnp.array(pc)))
+        manual = float(losses.uniform_loss(jnp.array(pc),
+                                           percentages=active))
+        assert np.isfinite(full) and full >= 0
+        # equality proves the skip hits exactly the under-populated
+        # terms AND the divisor is the surviving-term count
+        np.testing.assert_allclose(full, manual, rtol=1e-6)
+
     def test_knn_smoothing(self, rng):
         pc = rng.rand(2, 64, 3).astype(np.float32)
         out = np.asarray(losses.knn_smoothing_loss(jnp.array(pc), k=5))
