@@ -46,14 +46,27 @@ class AOFConfig:
     low_pass: int = 100
     knn: int = 30
     mode: str = "untargeted"     # untargeted | targeted | ae_untargeted
+    # Eigensolver for the low-frequency subspace. "eigh" = full dense
+    # decomposition (torch.symeig parity). "subspace" = partial solver
+    # (Chebyshev-filtered subspace iteration + Rayleigh-Ritz): the
+    # attack only consumes the PROJECTOR onto the lowest-low_pass
+    # eigenspace, so only that subspace needs to converge — batched
+    # [N, low_pass+guard] MXU matmuls instead of the O(N³) serial eigh,
+    # the dominant setup cost at N=1024 (VERDICT.md Missing #7).
+    # Defaults reach the f32 accuracy floor of eigh itself (subspace
+    # distance ~1.5e-3, limited by eps·λmax/boundary-gap; 1.6e-6 in
+    # f64 — see tests/test_spectral_ae_attacks.py).
+    eigensolver: str = "eigh"    # eigh | subspace
+    subspace_rounds: int = 8
+    subspace_degree: int = 12
+    subspace_guard: int = 32
 
 
-def graph_laplacian(pc: jnp.ndarray,
-                    k: int = 30) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Eigendecomposition of the kNN-masked Gaussian graph Laplacian.
+def laplacian_matrix(pc: jnp.ndarray, k: int = 30) -> jnp.ndarray:
+    """kNN-masked Gaussian graph Laplacian L = D - A ``[B, N, N]``.
 
-    pc: ``[B, N, 3]``. Returns (eigvals ``[B, N]`` ascending,
-    eigvecs ``[B, N, N]``). Parity: `CW/AOF.py:30-51`.
+    Parity: `CW/AOF.py:30-48` (kNN-k mask incl. self, symmetrized,
+    exp(-|p_i-p_j|²) edge weights, combinatorial Laplacian).
     """
     B, N, _ = pc.shape
     sq = G.pairwise_distance(pc)                              # [B, N, N]
@@ -66,10 +79,86 @@ def graph_laplacian(pc: jnp.ndarray,
     mask = jnp.minimum(mask + jnp.swapaxes(mask, 1, 2), 1.0)
     A = jnp.exp(-sq) * mask
     D = jnp.sum(A, axis=2)
-    L = jnp.zeros_like(A).at[
+    return jnp.zeros_like(A).at[
         :, jnp.arange(N), jnp.arange(N)].set(D) - A
-    e, v = jnp.linalg.eigh(L)
-    return e, v
+
+
+def graph_laplacian(pc: jnp.ndarray,
+                    k: int = 30) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full eigendecomposition of the graph Laplacian.
+
+    pc: ``[B, N, 3]``. Returns (eigvals ``[B, N]`` ascending,
+    eigvecs ``[B, N, N]``). Parity: `CW/AOF.py:30-51`.
+    """
+    return jnp.linalg.eigh(laplacian_matrix(pc, k))
+
+
+def _cheb_filter(L, Q, a, b, degree: int):
+    """Degree-``degree`` Chebyshev polynomial of L applied to Q,
+    mapped so eigenvalues in [a, b] stay bounded by 1 while those
+    below ``a`` are amplified by cosh(degree·acosh(·)) — a low-pass
+    spectral filter built purely from batched matmuls."""
+    c = ((a + b) / 2.0)[:, None, None]
+    h = ((b - a) / 2.0)[:, None, None]
+    X0 = Q
+    X1 = (jnp.matmul(L, Q) - c * Q) / h
+    for _ in range(degree - 1):
+        X2 = 2.0 * (jnp.matmul(L, X1) - c * X1) / h - X0
+        X0, X1 = X1, X2
+    return X1
+
+
+def graph_laplacian_partial(pc: jnp.ndarray, k: int = 30,
+                            low_pass: int = 100, rounds: int = 8,
+                            degree: int = 12, guard: int = 32,
+                            key: Optional[jax.Array] = None
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Lowest-``low_pass`` eigenpairs via Chebyshev-filtered subspace
+    iteration (ChebFD-style).
+
+    TPU-native replacement for the full ``eigh`` when only the
+    low-frequency subspace is consumed (the AOF lfc split uses the
+    projector V·Vᵀ, which depends on the SPAN, not individual
+    eigenvectors). A plain shifted power iteration cannot work here —
+    the Gershgorin shift σ dwarfs the low-band gaps (rate 1 - gap/σ per
+    step) — so each round applies a degree-``degree`` Chebyshev low-pass
+    filter over [a, σ] to ``low_pass + guard`` vectors, orthonormalizes,
+    and tightens ``a`` to the current largest Ritz value. Everything is
+    batched [B, N, kg] matmul + QR (MXU work); the only eigh is the tiny
+    [kg, kg] Rayleigh-Ritz problem.
+
+    Returns (ritz values ``[B, low_pass]`` ascending, basis
+    ``[B, N, low_pass]``).
+    """
+    L = laplacian_matrix(pc, k)
+    B, N, _ = L.shape
+    kg = min(low_pass + guard, N)
+    # Gershgorin: λmax(L) <= max_i (L_ii + Σ_j |A_ij|) = 2 max_i D_ii
+    sigma = 2.0 * jnp.max(jnp.diagonal(L, axis1=1, axis2=2),
+                          axis=1)                             # [B]
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    Q = jax.random.normal(key, (B, N, kg), L.dtype)
+    Q, _ = jnp.linalg.qr(Q)
+
+    def ritz(Q):
+        LQ = jnp.matmul(L, Q)
+        T = jnp.matmul(jnp.swapaxes(Q, 1, 2), LQ)
+        T = (T + jnp.swapaxes(T, 1, 2)) / 2.0
+        return jnp.linalg.eigh(T)                             # ascending
+
+    def body(_, Q):
+        e, _ = ritz(Q)
+        # filter window: suppress [current top Ritz value, σ]; keep it
+        # strictly below σ so the map stays well-conditioned
+        a = jnp.minimum(e[:, -1], 0.95 * sigma)
+        Q, _ = jnp.linalg.qr(_cheb_filter(L, Q, a, sigma, degree))
+        return Q
+
+    Q = lax.fori_loop(0, rounds, body, Q)
+    e, W = ritz(Q)
+    V = jnp.matmul(Q, W[:, :, :low_pass])                     # [B, N, lp]
+    return e[:, :low_pass], V
 
 
 def make_aof(logits_fn: Callable, adv_fn: Callable,
@@ -91,15 +180,30 @@ def make_aof(logits_fn: Callable, adv_fn: Callable,
         raise ValueError("ae_untargeted mode requires ae_fn")
     lp = cfg.low_pass
 
-    def spectral_split(adv, V):
-        """coords → (lfc, hfc) through the fixed eigenbasis V [B,N,N]."""
-        projs = jnp.einsum("bnc,bnm->bmc", adv, V,
-                           preferred_element_type=jnp.float32)  # [B,N(m),3]
-        lfc = jnp.einsum("bmc,bnm->bnc", projs[:, :lp], V[:, :, :lp],
+    def spectral_split(adv, Vlp):
+        """coords → (lfc, hfc) through the low-band basis Vlp [B,N,lp].
+
+        lfc = Vlp·Vlpᵀ·adv; hfc = adv - lfc. Identical to projecting on
+        the complementary eigenvectors (`CW/AOF.py:111-122`) because the
+        full eigenbasis is orthonormal — and it only needs the lowest
+        ``low_pass`` vectors, which lets the partial eigensolver drop
+        the O(N³) eigh.
+        """
+        projs = jnp.einsum("bnc,bnm->bmc", adv, Vlp,
+                           preferred_element_type=jnp.float32)  # [B,lp,3]
+        lfc = jnp.einsum("bmc,bnm->bnc", projs, Vlp,
                          preferred_element_type=jnp.float32)
-        hfc = jnp.einsum("bmc,bnm->bnc", projs[:, lp:], V[:, :, lp:],
-                         preferred_element_type=jnp.float32)
-        return lfc, hfc
+        return lfc, adv - lfc
+
+    def low_band_basis(pc, key):
+        if cfg.eigensolver == "subspace":
+            _, V = graph_laplacian_partial(
+                pc, cfg.knn, lp, rounds=cfg.subspace_rounds,
+                degree=cfg.subspace_degree,
+                guard=cfg.subspace_guard, key=key)
+            return V
+        _, V = graph_laplacian(pc, cfg.knn)
+        return V[:, :, :lp]
 
     @jax.jit
     def attack(points, labels, key,
@@ -122,8 +226,9 @@ def make_aof(logits_fn: Callable, adv_fn: Callable,
 
         def restart(carry, step_key):
             o_best, _ = carry
-            adv0 = ori + jax.random.normal(step_key, ori.shape) * 1e-7
-            _, V = graph_laplacian(adv0, cfg.knn)
+            noise_key, eig_key = jax.random.split(step_key)
+            adv0 = ori + jax.random.normal(noise_key, ori.shape) * 1e-7
+            V = low_band_basis(adv0, eig_key)
             lfc0, hfc0 = spectral_split(adv0, V)
 
             def inner(carry, _):

@@ -62,6 +62,16 @@ class EvalConfig:
     max_sigm: float = 1.2
     min_sigm: float = 0.1
 
+    # AdvPC / UAEAOF autoencoder. The reference assumes a PRETRAINED AE
+    # (`CW/AdvPC.py:83-99`; success senses require its predictions,
+    # `:142`) — running with a random AE silently changes the attack.
+    # ae_checkpoint: pickled AE pytree (save_params format). When unset,
+    # the driver FITS an AE on the eval data for ae_fit_steps Adam steps
+    # and caches it; ae_fit_steps=0 opts into the random AE (loud
+    # warning).
+    ae_checkpoint: Optional[str] = None
+    ae_fit_steps: int = 300
+
     # defenses (`eval.py:64-66`; flags exist in the reference but are
     # unimplemented there — see hitadv_tpu/defense.py)
     defense_method: Optional[str] = None

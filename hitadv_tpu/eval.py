@@ -197,13 +197,66 @@ def build_attack(cfg: EvalConfig, logits_fn: Callable,
 
 
 def _default_ae(cfg: EvalConfig):
-    """Randomly initialized AE fallback (the reference's pretrained AE is
-    distributed out-of-band)."""
+    """Autoencoder for AdvPC/UAEAOF (`CW/AdvPC.py:83-99,142`).
+
+    Resolution order:
+      1. ``--ae_checkpoint`` — load a pickled AE pytree;
+      2. fit-and-cache: train the AE on the eval data for
+         ``--ae_fit_steps`` Adam steps (chamfer reconstruction) and
+         cache under HITADV_CACHE_DIR, reused on the next run;
+      3. ``--ae_fit_steps 0`` — random AE, with a LOUD warning: the
+         reference's attack semantics assume a trained AE, so random-AE
+         results are not comparable.
+    """
+    import itertools
+    import os
+
     import jax
+    import numpy as np
     from hitadv_tpu.models import autoencoder
+    from hitadv_tpu.utils import checkpoint as ckpt
+
+    if cfg.ae_checkpoint:
+        params = ckpt.load_params(cfg.ae_checkpoint)
+        return lambda x: autoencoder.apply(params, x)
+
+    if cfg.ae_fit_steps <= 0:
+        print("WARNING: running an AE-conditioned attack with a RANDOM "
+              "autoencoder (--ae_fit_steps 0). The reference assumes a "
+              "pretrained AE (CW/AdvPC.py:83-99); success senses and "
+              "ASR are NOT comparable. Pass --ae_checkpoint or set "
+              "--ae_fit_steps > 0.")
+        params = autoencoder.init(jax.random.PRNGKey(cfg.seed),
+                                  num_points=cfg.num_point)
+        return lambda x: autoencoder.apply(params, x)
+
+    cache_dir = os.environ.get(
+        "HITADV_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "hitadv_jax"))
+    os.makedirs(cache_dir, exist_ok=True)
+    cache = os.path.join(
+        cache_dir, f"ae_{cfg.dataset}_{cfg.num_point}p_"
+                   f"{cfg.ae_fit_steps}s_{cfg.seed}.pkl")
+    if os.path.exists(cache):
+        print(f"loading cached fitted AE: {cache}")
+        params = ckpt.load_params(cache)
+        return lambda x: autoencoder.apply(params, x)
+
+    print(f"no --ae_checkpoint given: fitting the AE on eval data "
+          f"({cfg.ae_fit_steps} steps) and caching to {cache}")
+    clouds = []
+    for pts, _ in itertools.islice(build_batches(cfg), 8):
+        clouds.append(np.asarray(pts)[..., :3])
+    clouds = np.concatenate(clouds, axis=0)
+    import jax.numpy as jnp
 
     params = autoencoder.init(jax.random.PRNGKey(cfg.seed),
                               num_points=cfg.num_point)
+    params = autoencoder.fit(params, jnp.asarray(clouds),
+                             jax.random.PRNGKey(cfg.seed + 1),
+                             steps=cfg.ae_fit_steps,
+                             batch_size=min(16, clouds.shape[0]))
+    ckpt.save_params(cache, params)
     return lambda x: autoencoder.apply(params, x)
 
 

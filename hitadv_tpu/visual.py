@@ -40,6 +40,31 @@ def save_png(path: str, points: np.ndarray,
     return True
 
 
+def spectral_decompose(points: np.ndarray, low_pass: int = 100,
+                       k: int = 30):
+    """Low/high-frequency split through the graph-Laplacian eigenbasis.
+
+    Parity: `visual.py:130-169` (`get_Laplace_from_pc` + eigenvector
+    projection) — the reference's spectral rendering path. Reuses the
+    AOF attack's Laplacian (`attacks/aof.py::graph_laplacian`, itself
+    the `CW/AOF.py:30-51` parity implementation).
+
+    points: ``[N, 3]``; returns (lfc [N, 3], hfc [N, 3]) with
+    ``lfc + hfc == points`` up to float error (V is orthonormal).
+    """
+    import jax.numpy as jnp
+    from hitadv_tpu.attacks.aof import graph_laplacian
+
+    pc = jnp.asarray(points, jnp.float32)[None]               # [1, N, 3]
+    _, V = graph_laplacian(pc, k=min(k, points.shape[0]))
+    projs = jnp.einsum("bnc,bnm->bmc", pc, V)                 # [1, N, 3]
+    lfc = jnp.einsum("bmc,bnm->bnc", projs[:, :low_pass],
+                     V[:, :, :low_pass])
+    hfc = jnp.einsum("bmc,bnm->bnc", projs[:, low_pass:],
+                     V[:, :, low_pass:])
+    return np.asarray(lfc[0]), np.asarray(hfc[0])
+
+
 def evalit(logits_fn, attack_fn, data: np.ndarray, target: int, key):
     """Attack one sample. Parity: `visual.py:22-48`.
 
@@ -72,6 +97,14 @@ def main(argv=None):
                         "one synthetic sample")
     p.add_argument("--target", type=int, default=0)
     p.add_argument("--out_dir", default="./visual_out")
+    p.add_argument("--mode", default="attack",
+                   choices=["attack", "spectral"],
+                   help="attack: adversarial sample dump; spectral: "
+                        "Laplacian lfc/hfc reconstructions "
+                        "(`visual.py:130-169`)")
+    p.add_argument("--low_pass", type=int, default=100,
+                   help="spectral mode: number of low-frequency "
+                        "eigenvectors")
     args = p.parse_args(argv)
     cfg = config_from_args(args)
 
@@ -83,6 +116,22 @@ def main(argv=None):
     else:
         clouds, labels = synthetic_clouds(1, cfg.num_point, seed=cfg.seed)
         data, target = clouds[0], int(labels[0])
+
+    if args.mode == "spectral":
+        os.makedirs(args.out_dir, exist_ok=True)
+        stamp = datetime.now().strftime("%Y%m%d%H%M%S")
+        xyz = np.asarray(data[:, :3], np.float32)
+        lfc, hfc = spectral_decompose(xyz, low_pass=args.low_pass)
+        outs = []
+        for name, cloud in (("ori", xyz), ("lfc", lfc), ("hfc", hfc)):
+            path = os.path.join(args.out_dir, f"{name}_{stamp}.asc")
+            save_asc(path, cloud)
+            outs.append(path)
+            save_png(os.path.join(args.out_dir, f"{name}_{stamp}.png"),
+                     cloud)
+        print(f"spectral split (low_pass={args.low_pass}): saved "
+              + ", ".join(outs))
+        return lfc
 
     _, logits_fn = build_model(cfg)
     attack = build_attack(cfg, logits_fn)

@@ -256,3 +256,52 @@ class TestCLIMeshAndDefense:
                   "--attack_type", "FGSM", "--budget", "0.1",
                   "--defense_method", "sor", "--log_dir", ""])
         assert np.isfinite(m["asr"])
+
+
+class TestAdvPCAutoencoderPath:
+    """VERDICT.md Missing #4: AdvPC must never silently run with a
+    random AE (`CW/AdvPC.py:83-99,142` assume a pretrained one)."""
+
+    ARGS = ["--dataset", "synthetic", "--batch_size", "4",
+            "--num_point", "64", "--synthetic_size", "4",
+            "--attack_type", "AdvPC", "--num_iter", "3",
+            "--binary_step", "1", "--log_dir", ""]
+
+    def test_fit_and_cache(self, tmp_path, monkeypatch, capsys):
+        from hitadv_tpu.eval import main
+
+        monkeypatch.setenv("HITADV_CACHE_DIR", str(tmp_path))
+        m = main(self.ARGS + ["--ae_fit_steps", "5"])
+        assert np.isfinite(m["asr"])
+        cached = list(tmp_path.glob("ae_*.pkl"))
+        assert len(cached) == 1
+        out = capsys.readouterr().out
+        assert "fitting the AE" in out
+
+        # second run reuses the cache
+        m2 = main(self.ARGS + ["--ae_fit_steps", "5"])
+        out2 = capsys.readouterr().out
+        assert "loading cached fitted AE" in out2
+        assert m2["asr"] == m["asr"]
+
+    def test_ae_checkpoint_flag(self, tmp_path, monkeypatch):
+        import jax
+        from hitadv_tpu.eval import main
+        from hitadv_tpu.models import autoencoder
+        from hitadv_tpu.utils import checkpoint as ckpt
+
+        params = autoencoder.init(jax.random.PRNGKey(3), num_points=64)
+        path = str(tmp_path / "ae.pkl")
+        ckpt.save_params(path, params)
+        monkeypatch.setenv("HITADV_CACHE_DIR", str(tmp_path / "cache"))
+        m = main(self.ARGS + ["--ae_checkpoint", path])
+        assert np.isfinite(m["asr"])
+        assert not (tmp_path / "cache").exists()   # no fit happened
+
+    def test_random_ae_warns(self, tmp_path, monkeypatch, capsys):
+        from hitadv_tpu.eval import main
+
+        monkeypatch.setenv("HITADV_CACHE_DIR", str(tmp_path))
+        m = main(self.ARGS + ["--ae_fit_steps", "0"])
+        assert np.isfinite(m["asr"])
+        assert "RANDOM" in capsys.readouterr().out

@@ -22,6 +22,35 @@ class TestVisual:
         loaded = np.loadtxt(tmp_path / asc)
         np.testing.assert_allclose(loaded, adv, atol=1e-5)
 
+    def test_spectral_mode_cli(self, tmp_path):
+        lfc = visual.main([
+            "--dataset", "synthetic", "--num_point", "96",
+            "--mode", "spectral", "--low_pass", "20",
+            "--out_dir", str(tmp_path), "--log_dir", "",
+        ])
+        assert lfc.shape == (96, 3)
+        files = os.listdir(tmp_path)
+        for stem in ("ori", "lfc", "hfc"):
+            assert any(f.startswith(stem) and f.endswith(".asc")
+                       for f in files), files
+
+        ori = np.loadtxt(tmp_path / [f for f in files
+                                     if f.startswith("ori")
+                                     and f.endswith(".asc")][0])
+        hfc = np.loadtxt(tmp_path / [f for f in files
+                                     if f.startswith("hfc")
+                                     and f.endswith(".asc")][0])
+        # eigenbasis is orthonormal -> lfc + hfc reconstructs the cloud
+        np.testing.assert_allclose(lfc + hfc, ori, atol=2e-4)
+        # low-pass is a real smoothing: lfc differs from the original
+        assert np.abs(lfc - ori).max() > 1e-3
+
+    def test_spectral_full_band_is_identity(self, rng):
+        pts = rng.randn(64, 3).astype(np.float32)
+        lfc, hfc = visual.spectral_decompose(pts, low_pass=64, k=16)
+        np.testing.assert_allclose(lfc, pts, atol=2e-4)
+        np.testing.assert_allclose(hfc, 0.0, atol=2e-4)
+
     def test_main_from_txt_input(self, tmp_path, rng):
         cloud = rng.randn(300, 6).astype(np.float32)
         path = str(tmp_path / "in.txt")
