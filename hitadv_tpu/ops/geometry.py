@@ -277,7 +277,12 @@ def farthest_point_sample(xyz: jnp.ndarray, npoint: int,
       ``[B, npoint]`` int32 indices.
     """
     _check_cloud(xyz, "farthest_point_sample:xyz")
-    if _pallas_active() and xyz.shape[-1] == 3:
+    # The Pallas kernel's in-kernel argmax fails Mosaic lowering when
+    # the lane-padded width is a single 128-lane tile (probed on TPU:
+    # every N <= 128 fails with an unrealized f32->i32 vector cast,
+    # N >= 129 compiles) — fall back to the XLA loop for small clouds,
+    # where the kernel has no advantage anyway.
+    if _pallas_active() and xyz.shape[-1] == 3 and xyz.shape[1] > 128:
         return _fps_pallas_nondiff(xyz, npoint, key, start_idx or 0)
     B, N, _ = xyz.shape
     if key is not None:
