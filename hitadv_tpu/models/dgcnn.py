@@ -38,10 +38,55 @@ def get_graph_feature(x: jnp.ndarray, k: int) -> jnp.ndarray:
     x: ``[B, N, C]`` -> ``[B, N, k, 2C]`` (= concat(x_j - x_i, x_i)).
     Parity: `model/dgcnn_cls.py:16-43` (self included in neighbors).
     """
-    idx = G.knn_points(x, x, k).idx                           # [B, N, k]
+    # indices are piecewise-constant in x: the reference's torch.topk
+    # idx carries no gradient either (`model/dgcnn_cls.py:7-13`), and
+    # cutting the knn out of the autodiff graph removes its whole
+    # backward (the dists cotangent is identically zero here)
+    xs = lax.stop_gradient(x)
+    idx = G.knn_points(xs, xs, k).idx                         # [B, N, k]
     neighbors = G.index_points(x, idx)                        # [B, N, k, C]
     center = jnp.broadcast_to(x[:, :, None, :], neighbors.shape)
     return jnp.concatenate([neighbors - center, center], axis=-1)
+
+
+def edge_conv_fused(p_conv: Dict, p_bn: Dict, h: jnp.ndarray,
+                    k: int) -> jnp.ndarray:
+    """Eval-mode EdgeConv with the conv factored off the edge grid.
+
+    Exact rewrite of ``max_j leaky(bn(W·[x_j - x_i; x_i]))``
+    (`model/dgcnn_cls.py:16-43` + the conv/BN/LeakyReLU blocks):
+    splitting W into the (x_j - x_i) rows Wd and the x_i rows Wc and
+    folding the eval BN affine ``a·(-) + b`` into both projections
+    gives ``e'_ij = y_j + z_i`` with ``y = x·(Wd·a)`` and
+    ``z = x·((Wc - Wd)·a) + b``; LeakyReLU is strictly increasing, so
+    ``max_j leaky(e'_ij) = leaky(max_j y_j + z_i)`` — the [B,N,k,2C]
+    edge tensor, its per-edge matmul, and the per-edge BN all vanish.
+
+    The neighbor gather runs as per-slot one-hot matmuls on the MXU
+    instead of a dynamic gather: XLA's gather VJP emits scatter-add,
+    which is pathological on TPU, while the one-hot form differentiates
+    into more matmuls (measured at B=16/N=1024/k=20: whole-model
+    fwd+bwd 41 -> 29 ms vs the gather path; logits argmax-identical,
+    drift ~2e-4 from reassociation). One-hot entries are exact in any
+    dtype, so a single nonzero product per row reproduces the gathered
+    value exactly even at bf16.
+
+    Only valid in eval mode (running-stat BN); training uses the
+    reference edge-grid formulation so batch statistics are computed
+    over edges like torch's.
+    """
+    C = h.shape[-1]
+    W = p_conv["w"]                                           # [2C, C']
+    Wd, Wc = W[:C], W[C:]
+    a = p_bn["scale"] * lax.rsqrt(p_bn["var"] + 1e-5)
+    b = p_bn["bias"] - p_bn["mean"] * a
+
+    hs = lax.stop_gradient(h)        # idx-only consumer (see above)
+    idx = G.knn_points(hs, hs, k).idx                         # [B, N, k]
+    y = F.linear({"w": Wd * a[None]}, h)                      # [B, N, C']
+    z = F.linear({"w": (Wc - Wd) * a[None]}, h) + b
+    mx = G.graph_max_pool(y, idx)                             # [B, N, C']
+    return F.leaky_relu(mx + z)
 
 
 def init(key: jax.Array, num_classes: int = 40,
@@ -68,11 +113,19 @@ def make_apply(cfg: DGCNNConfig = DGCNNConfig()):
         """x: [B, N, 3] -> logits [B, num_classes]."""
         feats = []
         h = x
+        # train-mode BN needs batch statistics over the edge grid
+        # (torch semantics), so the fused factored form only runs in
+        # eval mode — the attack path, where it is 1.4x faster.
+        fused = not F.bn_is_training()
         for i in range(1, 5):
-            e = get_graph_feature(h, cfg.k)                   # [B,N,k,2C]
-            e = F.leaky_relu(F.batchnorm(params[f"bn{i}"],
-                                         F.linear(params[f"conv{i}"], e)))
-            h = jnp.max(e, axis=2)                            # [B, N, C']
+            if fused:
+                h = edge_conv_fused(params[f"conv{i}"],
+                                    params[f"bn{i}"], h, cfg.k)
+            else:
+                e = get_graph_feature(h, cfg.k)               # [B,N,k,2C]
+                e = F.leaky_relu(F.batchnorm(
+                    params[f"bn{i}"], F.linear(params[f"conv{i}"], e)))
+                h = jnp.max(e, axis=2)                        # [B, N, C']
             feats.append(h)
 
         h = jnp.concatenate(feats, axis=-1)                   # [B, N, 512]

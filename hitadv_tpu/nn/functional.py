@@ -150,6 +150,12 @@ class bn_training:
         return False
 
 
+def bn_is_training() -> bool:
+    """True while tracing inside a ``bn_training`` context — models
+    that have a faster eval-only formulation branch on this."""
+    return _BN_TRAINING_RECORDS is not None
+
+
 def batchnorm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """BN over the trailing channel dim.
 

@@ -127,6 +127,60 @@ def index_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(*idx.shape, C)
 
 
+def _gmp_fwd_impl(y, idx):
+    if _pallas_active() and y.shape[1] >= 128:
+        from hitadv_tpu.ops import pallas_kernels as PK
+
+        return PK.graph_max_pool_pallas(y, idx)
+    nb = index_points(y, idx)                                # [B,N,k,C]
+    return (jnp.max(nb, axis=2),
+            jnp.argmax(nb, axis=2).astype(jnp.int32))
+
+
+def graph_max_pool(y: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``mx[b, n, c] = max_j y[b, idx[b, n, j], c]`` — the EdgeConv
+    neighbor reduction (`model/dgcnn_cls.py:16-43` max over the kNN
+    ring), fused so the ``[B, N, k, C]`` neighbor tensor never exists.
+
+    On TPU both directions run as Pallas one-hot matmuls generated in
+    VMEM (dynamic row gathers do not lower in this Mosaic version; the
+    XLA gather VJP would emit a pathological scatter-add). The custom
+    VJP routes each (row, channel) gradient to the FIRST slot attaining
+    the max — torch's max backward picks the same first-argmax; ties
+    between exactly-equal neighbor features are measure-zero.
+    """
+    return _graph_max_pool(y.shape[1], y, idx)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _graph_max_pool(n_points, y, idx):
+    mx, _ = _gmp_fwd_impl(y, idx)
+    return mx
+
+
+def _gmp_vjp_fwd(n_points, y, idx):
+    mx, amax = _gmp_fwd_impl(y, idx)
+    return mx, (idx, amax)
+
+
+def _gmp_vjp_bwd(n_points, res, g):
+    idx, amax = res
+    if _pallas_active() and g.shape[1] >= 128:
+        from hitadv_tpu.ops import pallas_kernels as PK
+
+        return PK.graph_max_pool_bwd_pallas(idx, amax, g, n_points), None
+    B, N, C = g.shape
+    rows = jnp.take_along_axis(idx, amax, axis=2)            # [B, N, C]
+    b_iota = jnp.arange(B)[:, None, None]
+    c_iota = jnp.arange(C)[None, None, :]
+    gy = jnp.zeros((B, n_points, C), g.dtype).at[
+        b_iota, rows, c_iota].add(g)
+    return gy, None
+
+
+_graph_max_pool.defvjp(_gmp_vjp_fwd, _gmp_vjp_bwd)
+
+
 def knn_gather(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Gather neighbor features, pytorch3d `knn_gather` parity.
 

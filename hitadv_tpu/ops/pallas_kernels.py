@@ -234,3 +234,150 @@ def fps_pallas(xyz: jnp.ndarray, npoint: int,
     else:
         start = jnp.full((B,), start_idx, dtype=jnp.int32)
     return fps_pallas_from_start(xyz, npoint, start)
+
+
+# ---------------------------------------------------------------------------
+# Fused graph max-pool (DGCNN EdgeConv neighbor reduction)
+# ---------------------------------------------------------------------------
+#
+# mx[b, n, c] = max_j y[b, idx[b, n, j], c]  (plus the argmax slot for
+# the custom VJP). Dynamic row gathers do not lower in this Mosaic
+# version (scripts/gather_probe.py), so each neighbor slot is gathered
+# by a one-hot matmul built in VMEM — unlike the XLA one-hot
+# formulation, the [T, N] one-hot never touches HBM, and the backward
+# scatter-add becomes one-hot^T matmuls accumulated in VMEM.
+
+
+def _gmp_fwd_kernel(y_ref, idx_ref, mx_ref, amax_ref, *, k: int):
+    """One (batch, row-tile) program.
+
+    y_ref: [1, Np, C]; idx_ref: [1, T, k_pad] int32;
+    mx_ref: [1, T, C] f32; amax_ref: [1, T, C] int32.
+    """
+    y = y_ref[0]                                             # [Np, C]
+    idx = idx_ref[0]                                         # [T, k_pad]
+    T = idx.shape[0]
+    Np, C = y.shape
+    row = lax.broadcasted_iota(jnp.int32, (T, Np), 1)
+
+    mx = jnp.full((T, C), _NEG_INF, jnp.float32)
+    amax = jnp.zeros((T, C), jnp.int32)
+    # static unroll: idx[:, j] with a traced j would be a lane-dim
+    # dynamic_slice, which Mosaic cannot lower
+    for j in range(k):
+        onehot = (row == idx[:, j][:, None]).astype(y.dtype)  # [T, Np]
+        nb = jax.lax.dot_general(
+            onehot, y, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [T, C]
+        better = nb > mx
+        mx = jnp.where(better, nb, mx)
+        amax = jnp.where(better, j, amax)
+    mx_ref[0] = mx
+    amax_ref[0] = amax
+
+
+def _gmp_bwd_kernel(idx_ref, amax_ref, g_ref, out_ref, *, k: int):
+    """grad_y accumulation: out[m, c] += sum over rows n in this tile
+    with idx[n, amax[n, c]] == m of g[n, c]."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    idx = idx_ref[0]                                         # [T, k_pad]
+    amax = amax_ref[0]                                       # [T, C]
+    g = g_ref[0].astype(jnp.float32)                         # [T, C]
+    Np = out_ref.shape[1]
+    T = idx.shape[0]
+    rowT = lax.broadcasted_iota(jnp.int32, (Np, T), 0)
+
+    # accumulate into the ref per slot — an SSA accumulator chain keeps
+    # every unrolled [Np, C] partial alive and blows the 16M scoped
+    # VMEM limit at C=256
+    for j in range(k):
+        gj = jnp.where(amax == j, g, 0.0)                    # [T, C]
+        onehotT = (rowT == idx[:, j][None, :]).astype(jnp.float32)
+        out_ref[0] += jax.lax.dot_general(
+            onehotT, gj, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [Np, C]
+
+
+def graph_max_pool_pallas(y: jnp.ndarray, idx: jnp.ndarray,
+                          tile: int = 128):
+    """(mx [B, N, C] in y.dtype, amax [B, N, k-slot] int32)."""
+    B, N, C = y.shape
+    k = idx.shape[-1]
+    yf = y.astype(jnp.float32)
+    pad_n = (-N) % tile
+    if pad_n:
+        yf = jnp.pad(yf, ((0, 0), (0, pad_n), (0, 0)))
+        idx = jnp.pad(idx, ((0, 0), (0, pad_n), (0, 0)))
+    Np = N + pad_n
+    k_pad = -(-k // 128) * 128
+    if k_pad != k:
+        idx = jnp.pad(idx, ((0, 0), (0, 0), (0, k_pad - k)))
+
+    grid = (B, Np // tile)
+    mx, amax = pl.pallas_call(
+        functools.partial(_gmp_fwd_kernel, k=k),
+        grid=grid,
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        in_specs=[
+            pl.BlockSpec((1, Np, C), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((1, tile, k_pad), lambda b, t: (b, t, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile, C), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, tile, C), lambda b, t: (b, t, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Np, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, Np, C), jnp.int32),
+        ],
+    )(yf, idx)
+    return mx[:, :N].astype(y.dtype), amax[:, :N]
+
+
+def graph_max_pool_bwd_pallas(idx: jnp.ndarray, amax: jnp.ndarray,
+                              g: jnp.ndarray, n_points: int,
+                              tile: int = 128) -> jnp.ndarray:
+    """grad wrt y: scatter-add of g at the argmax neighbors, as
+    one-hot^T matmuls accumulated across row tiles."""
+    B, N, C = g.shape
+    k = idx.shape[-1]
+    gf = g.astype(jnp.float32)
+    pad_n = (-N) % tile
+    if pad_n:
+        # padded rows carry zero gradient -> contribute nothing
+        gf = jnp.pad(gf, ((0, 0), (0, pad_n), (0, 0)))
+        idx = jnp.pad(idx, ((0, 0), (0, pad_n), (0, 0)))
+        amax = jnp.pad(amax, ((0, 0), (0, pad_n), (0, 0)))
+    Nr = N + pad_n
+    pad_out = (-n_points) % 128
+    Np = n_points + pad_out
+    if Np != n_points:
+        # target rows only reach n_points-1; pad block only
+        pass
+    k_pad = -(-k // 128) * 128
+    if k_pad != k:
+        idx = jnp.pad(idx, ((0, 0), (0, 0), (0, k_pad - k)))
+
+    grid = (B, Nr // tile)
+    out = pl.pallas_call(
+        functools.partial(_gmp_bwd_kernel, k=k),
+        grid=grid,
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        in_specs=[
+            pl.BlockSpec((1, tile, k_pad), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, tile, C), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, tile, C), lambda b, t: (b, t, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, Np, C), lambda b, t: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Np, C), jnp.float32),
+    )(idx, amax, gf)
+    return out[:, :n_points].astype(g.dtype)

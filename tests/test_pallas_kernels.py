@@ -91,6 +91,112 @@ class TestFPSPallas:
         assert np.isfinite(np.asarray(g)).all()
 
 
+class TestGraphMaxPool:
+    """Fused EdgeConv neighbor reduction (one-hot MXU kernels)."""
+
+    def _oracle(self, y, idx):
+        # gather y[b, idx[b,n,j], c] then max over j
+        B, N, k = idx.shape
+        C = y.shape[-1]
+        out = np.empty((B, N, k, C), y.dtype)
+        for b in range(B):
+            out[b] = y[b][idx[b]]
+        return out.max(axis=2)
+
+    @pytest.mark.parametrize("B,N,k,C", [(2, 128, 5, 8), (1, 256, 20, 64),
+                                         (2, 130, 3, 16)])
+    def test_fwd_matches_oracle(self, rng, B, N, k, C):
+        y = rng.randn(B, N, C).astype(np.float32)
+        idx = rng.randint(0, N, size=(B, N, k)).astype(np.int32)
+        want = self._oracle(y, idx)
+        for backend in ("xla", "pallas"):
+            G.set_backend(backend)
+            try:
+                got = np.asarray(G.graph_max_pool(jnp.array(y),
+                                                  jnp.array(idx)))
+            finally:
+                G.set_backend("auto")
+            np.testing.assert_allclose(got, want, atol=1e-6,
+                                       err_msg=backend)
+
+    def test_grad_matches_across_backends(self, rng):
+        B, N, k, C = 2, 128, 7, 16
+        y = jnp.array(rng.randn(B, N, C).astype(np.float32))
+        idx = jnp.array(rng.randint(0, N, size=(B, N, k)).astype(np.int32))
+        w = jnp.array(rng.randn(B, N, C).astype(np.float32))
+
+        def loss(y):
+            return jnp.sum(G.graph_max_pool(y, idx) * w)
+
+        grads = {}
+        for backend in ("xla", "pallas"):
+            G.set_backend(backend)
+            try:
+                grads[backend] = np.asarray(jax.grad(loss)(y))
+            finally:
+                G.set_backend("auto")
+        np.testing.assert_allclose(grads["xla"], grads["pallas"],
+                                   atol=1e-5)
+
+    def test_grad_routes_to_argmax_rows(self, rng):
+        # tiny hand-checkable case through the XLA fallback
+        G.set_backend("xla")
+        try:
+            y = jnp.array([[[1.0], [5.0], [3.0]]])          # [1, 3, 1]
+            idx = jnp.array([[[0, 1], [1, 2], [2, 0]]],
+                            jnp.int32)                       # [1, 3, 2]
+            out = G.graph_max_pool(y, idx)
+            np.testing.assert_allclose(np.asarray(out[0, :, 0]),
+                                       [5.0, 5.0, 3.0])
+            g = jax.grad(lambda y: jnp.sum(G.graph_max_pool(y, idx)))(y)
+            # rows 1 (x2 wins twice) and 2 (wins once) get gradient
+            np.testing.assert_allclose(np.asarray(g[0, :, 0]),
+                                       [0.0, 2.0, 1.0])
+        finally:
+            G.set_backend("auto")
+
+    def test_dgcnn_fused_apply_matches_reference_path(self, rng):
+        from hitadv_tpu.models import dgcnn
+        from hitadv_tpu.nn import functional as nnF
+
+        cfg = dgcnn.DGCNNConfig(k=6)
+        params = dgcnn.init(jax.random.PRNGKey(0), cfg=cfg)
+        x = jnp.array(rng.randn(2, 128, 3).astype(np.float32) * 0.5)
+        apply = dgcnn.make_apply(cfg)
+        fused = apply(params, x)                             # eval: fused
+        # reference edge-grid path (train-mode branch, frozen stats)
+        records = []
+        with nnF.bn_training(records):
+            pass  # just verifying flag flips the branch below
+        ref_logits = _dgcnn_reference_path(params, x, cfg)
+        np.testing.assert_allclose(np.asarray(fused),
+                                   np.asarray(ref_logits), atol=3e-4)
+
+
+def _dgcnn_reference_path(params, x, cfg):
+    """The original [B,N,k,2C] edge-grid formulation, for equivalence."""
+    from hitadv_tpu.models.dgcnn import get_graph_feature
+    from hitadv_tpu.nn import functional as F
+
+    feats = []
+    h = x
+    for i in range(1, 5):
+        e = get_graph_feature(h, cfg.k)
+        e = F.leaky_relu(F.batchnorm(params[f"bn{i}"],
+                                     F.linear(params[f"conv{i}"], e)))
+        h = jnp.max(e, axis=2)
+        feats.append(h)
+    h = jnp.concatenate(feats, axis=-1)
+    h = F.leaky_relu(F.batchnorm(params["bn5"],
+                                 F.linear(params["conv5"], h)))
+    g = jnp.concatenate([jnp.max(h, 1), jnp.mean(h, 1)], -1)
+    g = F.leaky_relu(F.batchnorm(params["bn6"],
+                                 F.linear(params["linear1"], g)))
+    g = F.leaky_relu(F.batchnorm(params["bn7"],
+                                 F.linear(params["linear2"], g)))
+    return F.linear(params["linear3"], g)
+
+
 class TestBackendDispatch:
     def test_set_backend_validation(self):
         with pytest.raises(ValueError):
