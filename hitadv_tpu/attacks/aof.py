@@ -164,7 +164,8 @@ def graph_laplacian_partial(pc: jnp.ndarray, k: int = 30,
 def make_aof(logits_fn: Callable, adv_fn: Callable,
              clip_fn: Callable,
              cfg: AOFConfig = AOFConfig(),
-             ae_fn: Optional[Callable] = None):
+             ae_fn: Optional[Callable] = None,
+             *, init_overrides=None):
     """Build the jitted AOF attack.
 
     Args:
@@ -172,12 +173,20 @@ def make_aof(logits_fn: Callable, adv_fn: Callable,
       adv_fn: per-example margin loss (targeted sense for TAOF).
       clip_fn: ``(adv, ori) -> adv`` (the reference uses ClipPointsLinf).
       ae_fn: reconstruction model for UAEAOF (mode="ae_untargeted").
+      init_overrides: optional ``{"noise": [S, B, N, 3]}`` pinning the
+        per-restart 1e-7 init noise (`CW/AOF.py:110-111`) for
+        trajectory-parity testing — the eigenbasis V is computed from
+        the noisy cloud, so cross-framework comparison needs identical
+        draws.
       labels semantics: mode="targeted" expects ``attack(points, target,
       key, y_truth=...)`` with true labels for the lfc bookkeeping
       (`CW/TAOF.py:203`).
     """
     if cfg.mode == "ae_untargeted" and ae_fn is None:
         raise ValueError("ae_untargeted mode requires ae_fn")
+    if init_overrides is not None:
+        init_overrides = {k: jnp.asarray(v)
+                          for k, v in init_overrides.items()}
     lp = cfg.low_pass
 
     def spectral_split(adv, Vlp):
@@ -224,10 +233,15 @@ def make_aof(logits_fn: Callable, adv_fn: Callable,
                     ok = ok & (lfc_pred != labels)
             return ok
 
-        def restart(carry, step_key):
+        def restart(carry, step_in):
+            step_key, step_idx = step_in
             o_best, _ = carry
             noise_key, eig_key = jax.random.split(step_key)
-            adv0 = ori + jax.random.normal(noise_key, ori.shape) * 1e-7
+            if init_overrides is not None:
+                adv0 = ori + init_overrides["noise"][step_idx]
+            else:
+                adv0 = ori + jax.random.normal(noise_key,
+                                               ori.shape) * 1e-7
             V = low_band_basis(adv0, eig_key)
             lfc0, hfc0 = spectral_split(adv0, V)
 
@@ -267,7 +281,8 @@ def make_aof(logits_fn: Callable, adv_fn: Callable,
                 length=cfg.num_iter)
             return (o_best, advs[-1]), ()
 
-        step_keys = jax.random.split(key, cfg.binary_step)
+        step_keys = (jax.random.split(key, cfg.binary_step),
+                     jnp.arange(cfg.binary_step))
         init = (BestState.init(ori), jnp.zeros_like(ori))
         (o_best, last_adv), _ = lax.scan(restart, init, step_keys)
 

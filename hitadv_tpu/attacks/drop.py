@@ -59,33 +59,62 @@ def make_saliency_drop(logits_fn: Callable,
     def attack(points, labels, key=None) -> AttackResult:
         ori = points[..., :3]
         B, N, _ = ori.shape
+        b_iota = jnp.arange(B)
 
-        def round_body(i, carry):
-            pc, alive = carry
+        def round_body(i, alive):
             k = jnp.minimum(cfg.k, cfg.num_drop - i * cfg.k)
-            sal = _saliency(logits_fn, pc, labels, cfg.alpha)
+            n_alive = N - jnp.minimum(i * cfg.k, cfg.num_drop)
+
+            # collapse every dead point onto the first survivor so the
+            # max-pool victim sees exactly the survivor SET (duplicate
+            # == deleted for max pooling)
+            first_alive = jnp.argmax(alive, axis=1)           # [B]
+            anchor = jnp.take_along_axis(
+                ori, first_alive[:, None, None], axis=1)      # [B, 1, 3]
+            pc = jnp.where(alive[..., None], ori, anchor)
+
+            grad = jax.grad(lambda x: jnp.mean(
+                cross_entropy_loss(logits_fn(x), labels)))(pc)
+            # the anchor's true gradient is the TOTAL over all of its
+            # coincident copies (max-tie conventions conserve the sum);
+            # redirect the dead copies' shares back onto the anchor so
+            # its saliency matches the reference's shrunk-cloud run
+            dead_g = jnp.sum(jnp.where(alive[..., None], 0.0, grad),
+                             axis=1)                          # [B, 3]
+            grad = grad.at[b_iota, first_alive].add(dead_g)
+
+            # reference medians the SHRUNK cloud (`Drop.py:83-84`):
+            # masked median = (n_alive-1)//2-th order statistic of the
+            # survivors (torch lower-middle convention)
+            med_idx = (n_alive - 1) // 2
+            sorted_alive = jnp.sort(
+                jnp.where(alive[..., None], ori, jnp.inf), axis=1)
+            center = jnp.take_along_axis(
+                sorted_alive,
+                jnp.broadcast_to(med_idx, (B, 1, 1)).astype(jnp.int32),
+                axis=1)[:, 0, :]                              # [B, 3]
+
+            offset = pc - center[:, None, :]
+            r = jnp.sqrt(jnp.sum(offset ** 2, axis=-1))       # [B, N]
+            sal = -(r ** cfg.alpha) * jnp.sum(offset * grad, axis=-1)
             sal = jnp.where(alive, sal, -jnp.inf)             # never re-drop
+
             # drop the top-k' alive points: mark the k highest, but only
             # the first k' of them when the last round is partial
             _, order = lax.top_k(sal, cfg.k)                  # [B, k]
             rank = lax.broadcasted_iota(jnp.int32, order.shape, 1)
-            sel = order[:, :cfg.k]
             drop_mask = jnp.zeros((B, N), bool)
             drop_mask = jax.vmap(
                 lambda m, idx, valid: m.at[idx].set(valid))(
-                    drop_mask, sel, rank < k)
-            alive = alive & ~drop_mask
-            # collapse dropped points onto the first surviving point
-            # (duplicate == deleted for max-pool victims)
-            first_alive = jnp.argmax(alive, axis=1)           # [B]
-            anchor = jnp.take_along_axis(
-                pc, first_alive[:, None, None], axis=1)       # [B, 1, 3]
-            pc = jnp.where(alive[..., None], pc, anchor)
-            return pc, alive
+                    drop_mask, order, rank < k)
+            return alive & ~drop_mask
 
-        alive0 = jnp.ones((B, N), bool)
-        pc, alive = lax.fori_loop(0, num_rounds, round_body,
-                                  (ori, alive0))
+        alive = lax.fori_loop(0, num_rounds, round_body,
+                              jnp.ones((B, N), bool))
+        first_alive = jnp.argmax(alive, axis=1)
+        anchor = jnp.take_along_axis(ori, first_alive[:, None, None],
+                                     axis=1)
+        pc = jnp.where(alive[..., None], ori, anchor)
 
         # compact: gather survivors into a static [B, N - num_drop, 3]
         keep = N - cfg.num_drop

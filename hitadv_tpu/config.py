@@ -52,6 +52,10 @@ class EvalConfig:
     init_weight: float = 10.0
     max_weight: float = 80.0
 
+    # SaliencyDrop (`Saliency/Drop.py:16`): points to delete; clamped
+    # to half the cloud when num_point is small
+    num_drop: int = 200
+
     # HiT-ADV specifics (`eval.py:49-59`)
     cd_weight: float = 1e-4
     ker_weight: float = 1.0

@@ -191,7 +191,9 @@ def build_attack(cfg: EvalConfig, logits_fn: Callable,
 
     if name == "drop":
         return attacks.make_saliency_drop(
-            logits_fn, attacks.DropConfig(num_drop=200, k=cfg.k))
+            logits_fn, attacks.DropConfig(
+                num_drop=min(cfg.num_drop, cfg.num_point // 2),
+                k=cfg.k))
 
     raise ValueError(f"unknown attack_type {cfg.attack_type!r}")
 

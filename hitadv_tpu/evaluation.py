@@ -30,8 +30,15 @@ def _batch_metrics(logits_fn, ori_xyz, adv_xyz, ori_normal, labels,
     """All per-batch eval quantities in one XLA program."""
     knn_d = jnp.mean(losses.knn_dist(adv_xyz, k=4))
     uni_d = losses.uniform_loss(adv_xyz, k=uniform_k)
-    curv_d = jnp.mean(losses.curv_std_dist(ori_xyz, adv_xyz, ori_normal,
-                                           k=4))
+    if adv_xyz.shape[1] == ori_xyz.shape[1]:
+        curv_d = jnp.mean(losses.curv_std_dist(ori_xyz, adv_xyz,
+                                               ori_normal, k=4))
+    else:
+        # point-dropping attacks return fewer points; CurvStdDist is
+        # undefined across different-sized clouds (the reference's
+        # `util/dist_utils.py:472-475` would crash — its eval only ever
+        # ran HiT-ADV). Report NaN rather than a made-up number.
+        curv_d = jnp.nan
     ori_pred = jnp.argmax(logits_fn(ori_xyz), axis=-1)
     adv_pred = jnp.argmax(logits_fn(adv_xyz), axis=-1)
     mask_ori = ori_pred == labels

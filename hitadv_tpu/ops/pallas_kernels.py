@@ -381,3 +381,69 @@ def graph_max_pool_bwd_pallas(idx: jnp.ndarray, amax: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((B, Np, C), jnp.float32),
     )(idx, amax, gf)
     return out[:, :n_points].astype(g.dtype)
+
+
+def _scatter_add_rows_kernel(idx_ref, g_ref, out_ref, *, k: int):
+    """out[m, c] += sum over rows n in this tile with idx[n, j] == m of
+    g[n, j*Cchunk...]: the gather-VJP scatter-add as one-hot^T matmuls.
+
+    idx_ref: [1, T, k_pad] int32 (k index columns per row);
+    g_ref: [1, T, k_pad is folded into rows upstream] — here g is
+    [1, T, C] with k == 1 (rows pre-flattened); kept general over k for
+    symmetry with the max-pool kernel.
+    """
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    idx = idx_ref[0]
+    g = g_ref[0].astype(jnp.float32)                         # [T, C]
+    Np = out_ref.shape[1]
+    T = idx.shape[0]
+    rowT = lax.broadcasted_iota(jnp.int32, (Np, T), 0)
+    for j in range(k):
+        onehotT = (rowT == idx[:, j][None, :]).astype(jnp.float32)
+        out_ref[0] += jax.lax.dot_general(
+            onehotT, g, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
+def scatter_add_rows_pallas(idx: jnp.ndarray, g: jnp.ndarray,
+                            n_points: int,
+                            tile: int = 256) -> jnp.ndarray:
+    """grad_points[b, idx[b, m], :] += g[b, m, :] without XLA scatter.
+
+    idx: [B, M] int32; g: [B, M, C]. Returns [B, n_points, C] in
+    g.dtype. The TPU-native transpose of a row gather: XLA's
+    scatter-add runs 5-20x slower than these accumulated one-hot^T
+    matmuls at attack shapes (see graph_max_pool measurements).
+    """
+    B, M = idx.shape
+    C = g.shape[-1]
+    gf = g.astype(jnp.float32)
+    pad_m = (-M) % tile
+    if pad_m:
+        gf = jnp.pad(gf, ((0, 0), (0, pad_m), (0, 0)))
+        idx = jnp.pad(idx, ((0, 0), (0, pad_m)))  # pad rows carry g=0
+    Mp = M + pad_m
+    idx = jnp.pad(idx[..., None], ((0, 0), (0, 0), (0, 127)))  # lane pad
+
+    pad_out = (-n_points) % 8
+    Np = n_points + pad_out
+    grid = (B, Mp // tile)
+    out = pl.pallas_call(
+        functools.partial(_scatter_add_rows_kernel, k=1),
+        grid=grid,
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        in_specs=[
+            pl.BlockSpec((1, tile, 128), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, tile, C), lambda b, t: (b, t, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, Np, C), lambda b, t: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Np, C), jnp.float32),
+    )(idx, gf)
+    return out[:, :n_points].astype(g.dtype)

@@ -177,6 +177,189 @@ class TestFGMParity:
         assert int(res.success.sum()) == int(succ_ref)
 
 
+class TestFGMParityExtended:
+    def test_mifgsm(self, victim, monkeypatch):
+        rh.patch_cuda(monkeypatch)
+        import torch
+        from FGM.FGSM import MIFGSM
+        from util.adv_utils import CrossEntropyAdvLoss
+        from util.clip_utils import ClipPointsLinf
+        from hitadv_tpu.attacks import base, fgm
+
+        m, params = victim
+        x = np.random.RandomState(6).randn(B, N, 3).astype(np.float32) * .5
+        labels = _clean_labels(m, x)
+        budget, step, iters, mu = 0.08, 0.02, 6, 1.0
+        atk = MIFGSM(m, CrossEntropyAdvLoss(), ClipPointsLinf(budget),
+                     budget, step, iters, mu=mu)
+        # reference bug: MIFGSM.__init__ forwards dist_metric into the
+        # parent's pre_head slot (`FGM/FGSM.py:199-200`), so get_gradient
+        # would call the string 'linf' — any real run must null it
+        atk.pre_head = None
+        adv_ref, succ_ref = atk.attack(torch.from_numpy(x.copy()), labels)
+        adv_ref = adv_ref.numpy()
+
+        ours = fgm.make_mifgsm(
+            _jax_logits_fn(params), base.make_adv_fn("cross_entropy"),
+            fgm.FGMConfig(budget=budget, step_size=step, num_iter=iters,
+                          mu=mu))
+        res = ours(jnp.asarray(x),
+                   jnp.asarray(labels.numpy().astype(np.int32)),
+                   jax.random.PRNGKey(0))
+        adv = np.asarray(res.adv_points)
+        assert _coord_match(adv, adv_ref, 1e-4) > 0.98
+        assert int(res.success.sum()) == int(succ_ref)
+
+    def test_fgm_l2(self, victim, monkeypatch):
+        rh.patch_cuda(monkeypatch)
+        import torch
+        from FGM.FGM_l2 import FGM_l2
+        from util.adv_utils import CrossEntropyAdvLoss
+        from hitadv_tpu.attacks import base, fgm
+
+        m, params = victim
+        x = np.random.RandomState(7).randn(B, N, 3).astype(np.float32) * .5
+        labels = _clean_labels(m, x)
+        atk = FGM_l2(m, CrossEntropyAdvLoss(), budget=0.5, pre_head=None)
+        # transpose gate is `shape[1] == 1024` — feed channels-first
+        xt = torch.from_numpy(np.swapaxes(x, 1, 2).copy())
+        adv_ref, succ_ref = atk.attack(xt, labels)
+        adv_ref = adv_ref.numpy()
+
+        ours = fgm.make_fgm_l2(
+            _jax_logits_fn(params), base.make_adv_fn("cross_entropy"),
+            fgm.FGMConfig(budget=0.5))
+        res = ours(jnp.asarray(x),
+                   jnp.asarray(labels.numpy().astype(np.int32)),
+                   jax.random.PRNGKey(0))
+        adv = np.asarray(res.adv_points)
+        # l2-normalized (not sign) step -> smooth, tight tolerance
+        np.testing.assert_allclose(adv, adv_ref, atol=1e-4)
+        assert int(res.success.sum()) == int(succ_ref)
+
+    def test_ifgm_l2(self, victim, monkeypatch):
+        rh.patch_cuda(monkeypatch)
+        import torch
+        from FGM.FGM_l2 import IFGM_l2
+        from util.adv_utils import CrossEntropyAdvLoss
+        from util.clip_utils import ClipPointsLinf
+        from hitadv_tpu.attacks import base, fgm
+
+        m, params = victim
+        x = np.random.RandomState(8).randn(B, N, 3).astype(np.float32) * .5
+        labels = _clean_labels(m, x)
+        budget, step, iters = 0.2, 0.05, 6
+        atk = IFGM_l2(m, CrossEntropyAdvLoss(), ClipPointsLinf(budget),
+                      budget, step, iters, pre_head=None)
+        adv_ref, succ_ref = atk.attack(torch.from_numpy(x.copy()), labels)
+        adv_ref = adv_ref.numpy()
+
+        ours = fgm.make_ifgm_l2(
+            _jax_logits_fn(params), base.make_adv_fn("cross_entropy"),
+            fgm.FGMConfig(budget=budget, step_size=step, num_iter=iters))
+        res = ours(jnp.asarray(x),
+                   jnp.asarray(labels.numpy().astype(np.int32)),
+                   jax.random.PRNGKey(0))
+        adv = np.asarray(res.adv_points)
+        np.testing.assert_allclose(adv, adv_ref, atol=5e-4)
+        assert int(res.success.sum()) == int(succ_ref)
+
+
+class TestSaliencyDropParity:
+    """`Saliency/Drop.py:49-113` — iterative saliency-scored dropping."""
+
+    def test_dropped_sets_match(self, victim, monkeypatch):
+        rh.patch_cuda(monkeypatch)
+        import torch
+        from Saliency.Drop import SaliencyDrop
+        from hitadv_tpu.attacks import drop
+
+        m, params = victim
+        x = np.random.RandomState(9).randn(B, N, 3).astype(np.float32) * .5
+        labels = _clean_labels(m, x)
+        num_drop, k = 10, 4
+        atk = SaliencyDrop(m, num_drop=num_drop, alpha=1, k=k)
+        xt = torch.from_numpy(np.swapaxes(x, 1, 2).copy())  # [B, 3, N]
+        adv_ref, succ_ref = atk.attack(xt, labels)           # [B, N-10, 3]
+
+        ours = drop.make_saliency_drop(
+            _jax_logits_fn(params),
+            drop.DropConfig(num_drop=num_drop, k=k, alpha=1.0))
+        res = ours(jnp.asarray(x),
+                   jnp.asarray(labels.numpy().astype(np.int32)))
+        adv = np.asarray(res.adv_points)
+
+        assert adv.shape == adv_ref.shape == (B, N - num_drop, 3)
+        # survivor SETS must match (orderings differ by construction)
+        for b in range(B):
+            want = {tuple(np.round(p, 5)) for p in adv_ref[b]}
+            got = {tuple(np.round(p, 5)) for p in adv[b]}
+            assert got == want, f"batch {b}: {len(got & want)} common"
+        assert int(res.success.sum()) == int(succ_ref)
+
+
+class TestAOFParity:
+    """`CW/AOF.py:54-241` — spectral lfc optimization, live on CPU."""
+
+    def test_trajectory(self, victim, monkeypatch):
+        rh.patch_cuda(monkeypatch)
+        import torch
+
+        # torch.symeig was removed in torch 2.x; the reference calls it
+        # (`CW/AOF.py:50`) — shim with the modern equivalent (both
+        # return ascending eigenpairs)
+        monkeypatch.setattr(
+            torch, "symeig",
+            lambda M, eigenvectors=True: torch.linalg.eigh(M),
+            raising=False)
+        from CW.AOF import CWAOF
+        from util.adv_utils import UntargetedLogitsAdvLoss
+        from util.clip_utils import ClipPointsLinf
+        from hitadv_tpu import losses
+        from hitadv_tpu.attacks import aof, base
+
+        m, params = victim
+        x = np.random.RandomState(10).randn(B, N, 3).astype(
+            np.float32) * .5
+        labels = _clean_labels(m, x)
+        # num_iter >= 5: the reference prints every num_iter//5 iters
+        budget, lp, iters = 0.18, 10, 5
+
+        # pin the 1e-7 init noise (V is computed from the noisy cloud)
+        noise = np.random.RandomState(41).randn(
+            1, B, N, 3).astype(np.float32) * 1e-7
+        monkeypatch.setattr(
+            torch, "randn",
+            rh.RandQueue([np.swapaxes(noise[0], 1, 2) / 1e-7]))
+
+        atk = CWAOF(m, UntargetedLogitsAdvLoss(kappa=0.0), None,
+                    attack_lr=1e-2, binary_step=1, num_iter=iters,
+                    GAMMA=0.5, low_pass=lp,
+                    clip_func=ClipPointsLinf(budget))
+        adv_ref, succ_ref = atk.attack(torch.from_numpy(x.copy()),
+                                       labels)
+
+        cfg = aof.AOFConfig(attack_lr=1e-2, binary_step=1,
+                            num_iter=iters, gamma=0.5, low_pass=lp,
+                            mode="untargeted")
+        clip = lambda a, o: losses.clip_points_linf(a, o, budget)  # noqa: E731
+        ours = aof.make_aof(
+            _jax_logits_fn(params),
+            base.make_adv_fn("logits", kappa=0.0, targeted=False),
+            clip, cfg, init_overrides={"noise": noise})
+        res = ours(jnp.asarray(x),
+                   jnp.asarray(labels.numpy().astype(np.int32)),
+                   jax.random.PRNGKey(0))
+        adv = np.asarray(res.adv_points)
+
+        # eigh eigenvectors of near-degenerate Laplacian eigenvalues are
+        # float-sensitive across LAPACK implementations; the projector
+        # is stable but a few coordinates drift through 5 Adam steps
+        assert _coord_match(adv, adv_ref, 5e-3) > 0.995, (
+            _coord_match(adv, adv_ref, 5e-3))
+        assert int(res.success.sum()) == int(succ_ref)
+
+
 class TestCWPerturbParity:
     """`CW/Perturb.py:46-202`: binary search + Adam + best bookkeeping."""
 

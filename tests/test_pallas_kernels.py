@@ -197,6 +197,42 @@ def _dgcnn_reference_path(params, x, cfg):
     return F.linear(params["linear3"], g)
 
 
+class TestGatherRowsMXU:
+    """Large-gather custom VJP: scatter-add bwd as one-hot matmuls."""
+
+    def test_grad_matches_xla_scatter(self, rng):
+        B, N, S, ns, C = 2, 256, 64, 16, 8
+        y = jnp.array(rng.randn(B, N, C).astype(np.float32))
+        idx = jnp.array(rng.randint(0, N, (B, S, ns)).astype(np.int32))
+        w = jnp.array(rng.randn(B, S, ns, C).astype(np.float32))
+
+        def loss(y):
+            return jnp.sum(G.index_points(y, idx) * w)
+
+        grads = {}
+        for backend in ("xla", "pallas"):
+            G.set_backend(backend)
+            try:
+                grads[backend] = np.asarray(jax.grad(loss)(y))
+            finally:
+                G.set_backend("auto")
+        np.testing.assert_allclose(grads["pallas"], grads["xla"],
+                                   atol=1e-4)
+
+    def test_fwd_identical(self, rng):
+        B, N = 2, 192
+        y = jnp.array(rng.randn(B, N, 5).astype(np.float32))
+        idx = jnp.array(rng.randint(0, N, (B, 300, 4)).astype(np.int32))
+        outs = {}
+        for backend in ("xla", "pallas"):
+            G.set_backend(backend)
+            try:
+                outs[backend] = np.asarray(G.index_points(y, idx))
+            finally:
+                G.set_backend("auto")
+        np.testing.assert_array_equal(outs["pallas"], outs["xla"])
+
+
 class TestBackendDispatch:
     def test_set_backend_validation(self):
         with pytest.raises(ValueError):
