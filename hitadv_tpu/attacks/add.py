@@ -156,10 +156,21 @@ class AddConfig:
 
 def make_cw_add(logits_fn: Callable, adv_fn: Callable,
                 dist_fn: Optional[Callable] = None,
-                cfg: AddConfig = AddConfig()):
-    """CWAdd: free added points from critical-point seeds."""
+                cfg: AddConfig = AddConfig(),
+                *, init_overrides=None):
+    """CWAdd: free added points from critical-point seeds.
+
+    init_overrides: optional ``{"noise": [S, B, num_add, 3]}`` pinning
+    the per-binary-step 1e-7 init noise (`CW/Add.py:108-109`) for
+    trajectory parity — the added points start ON original points, so
+    the chamfer gradient direction at iteration 0 is the noise
+    direction.
+    """
     if dist_fn is None:
         dist_fn = chamfer_dist                               # added→ori
+    if init_overrides is not None:
+        init_overrides = {k: jnp.asarray(v)
+                          for k, v in init_overrides.items()}
 
     @jax.jit
     def attack(points, labels, key) -> AttackResult:
@@ -187,9 +198,14 @@ def make_cw_add(logits_fn: Callable, adv_fn: Callable,
             adv, opt = adam_update(grad, opt, adv, cfg.attack_lr)
             return (adv, opt, weight, best, o_best), ()
 
-        def binary_step(carry, step_key):
+        def binary_step(carry, step_in):
+            step_key, step_idx = step_in
             lower, upper, weight, o_best, _ = carry
-            adv0 = cri + jax.random.normal(step_key, cri.shape) * 1e-7
+            if init_overrides is not None:
+                adv0 = cri + init_overrides["noise"][step_idx]
+            else:
+                adv0 = cri + jax.random.normal(step_key,
+                                               cri.shape) * 1e-7
             inner0 = (adv0, adam_init(adv0), weight,
                       BestState.init(adv0), o_best)
             (adv, _, _, best, o_best), _ = lax.scan(
@@ -206,7 +222,8 @@ def make_cw_add(logits_fn: Callable, adv_fn: Callable,
                 jnp.full((B,), cfg.init_weight),
                 BestState.init(zeros_add), zeros_add)
         (lower, _, _, o_best, last_adv), _ = lax.scan(
-            binary_step, init, step_keys)
+            binary_step, init,
+            (step_keys, jnp.arange(cfg.binary_step)))
 
         success = lower > 0.0
         added = jnp.where(success[:, None, None], o_best.adv, last_adv)

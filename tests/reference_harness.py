@@ -163,6 +163,67 @@ def randomize_bn(m, seed=0):
                 mod.running_var.uniform_(0.5, 2.0, generator=g)
 
 
+def build_torch_ae(params, num_points):
+    """Torch mirror of models/autoencoder.py loaded with OUR weights,
+    channels-first [B, 3, N] -> [B, 3, N] as the reference's AdvPC
+    expects (`CW/AdvPC.py:92`)."""
+    import torch
+    import torch.nn as nn
+
+    enc = params["enc"]
+    n_layers = len(enc) // 2
+
+    class TorchAE(nn.Module):
+        def __init__(self):
+            super().__init__()
+            convs, bns = [], []
+            for i in range(n_layers):
+                w = np.asarray(enc[f"conv{i}"]["w"])        # [Cin, Cout]
+                conv = nn.Conv1d(w.shape[0], w.shape[1], 1)
+                with torch.no_grad():
+                    conv.weight.copy_(torch.from_numpy(
+                        w.T[:, :, None].copy()))
+                    conv.bias.copy_(torch.from_numpy(
+                        np.asarray(enc[f"conv{i}"]["b"])))
+                bn = nn.BatchNorm1d(w.shape[1]).eval()
+                b = enc[f"bn{i}"]
+                with torch.no_grad():
+                    bn.weight.copy_(torch.from_numpy(np.asarray(b["scale"])))
+                    bn.bias.copy_(torch.from_numpy(np.asarray(b["bias"])))
+                    bn.running_mean.copy_(
+                        torch.from_numpy(np.asarray(b["mean"])))
+                    bn.running_var.copy_(
+                        torch.from_numpy(np.asarray(b["var"])))
+                convs.append(conv)
+                bns.append(bn)
+            self.convs = nn.ModuleList(convs)
+            self.bns = nn.ModuleList(bns)
+
+            def _linear(p):
+                w = np.asarray(p["w"])                       # [in, out]
+                fc = nn.Linear(w.shape[0], w.shape[1])
+                with torch.no_grad():
+                    fc.weight.copy_(torch.from_numpy(w.T.copy()))
+                    fc.bias.copy_(torch.from_numpy(np.asarray(p["b"])))
+                return fc
+
+            self.fc1 = _linear(params["dec_fc1"])
+            self.fc2 = _linear(params["dec_fc2"])
+            self.fc3 = _linear(params["dec_fc3"])
+
+        def forward(self, x):                                # [B, 3, N]
+            h = x
+            for conv, bn in zip(self.convs, self.bns):
+                h = torch.relu(bn(conv(h)))
+            z = torch.max(h, dim=2).values                   # [B, latent]
+            h = torch.relu(self.fc1(z))
+            h = torch.relu(self.fc2(h))
+            out = self.fc3(h).reshape(x.shape[0], num_points, 3)
+            return out.transpose(1, 2).contiguous()
+
+    return TorchAE().eval()
+
+
 def build_pointnet_pair(seed=0):
     """(torch_model, jax_params): the reference PointNet and its
     converted weights — the victim pair for attack-trajectory parity."""

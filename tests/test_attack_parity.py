@@ -416,6 +416,210 @@ class TestCWPerturbParity:
         assert bool(np.all(np.asarray(res.success)[:B // 2]))
 
 
+class TestCWKNNParity:
+    """`CW/kNN.py:14-151` / `CW/UKNN.py` — Adam + ChamferkNNDist + clip."""
+
+    def test_cw_knn_targeted(self, victim, monkeypatch):
+        rh.patch_cuda(monkeypatch)
+        import torch
+        from CW.kNN import CWKNN
+        from util.adv_utils import LogitsAdvLoss
+        from util.clip_utils import ProjectInnerClipLinf
+        from util.dist_utils import ChamferkNNDist
+        from hitadv_tpu import losses
+        from hitadv_tpu.attacks import base, cw
+
+        m, params = victim
+        x = np.random.RandomState(12).randn(B, N, 3).astype(
+            np.float32) * .5
+        clean = _clean_labels(m, x)
+        target = clean.clone()
+        target[B // 2:] = (clean[B // 2:] + 5) % 40
+        budget, iters = 0.18, 8
+
+        atk = CWKNN(m, LogitsAdvLoss(kappa=1.0), ChamferkNNDist(),
+                    ProjectInnerClipLinf(budget), attack_lr=1e-3,
+                    num_iter=iters)
+        adv_ref, succ_ref = atk.attack(torch.from_numpy(x.copy()),
+                                       target)
+        adv_ref = adv_ref                                    # [B, N, 3]
+
+        ours = cw.make_cw_knn(
+            _jax_logits_fn(params),
+            base.make_adv_fn("logits", kappa=1.0, targeted=True),
+            losses.chamfer_knn_dist,
+            # no normals in the input -> reference's inner projection
+            # is the identity, only the linf clip applies
+            clip_fn=lambda a, o, n: losses.clip_points_linf(a, o,
+                                                            budget),
+            cfg=cw.CWKNNConfig(attack_lr=1e-3, num_iter=iters,
+                               targeted=True))
+        res = ours(jnp.asarray(x),
+                   jnp.asarray(target.numpy().astype(np.int32)),
+                   jax.random.PRNGKey(0))
+        adv = np.asarray(res.adv_points)
+        # KNNDist's outlier cutoff (mean + alpha*std) is a hard
+        # threshold: near-boundary points flip between frameworks and
+        # their gradient masks diverge by ~1e-3 over the iterations
+        np.testing.assert_allclose(adv, adv_ref, atol=2e-3)
+        assert int(res.success.sum()) == int(succ_ref)
+
+    def test_cw_uknn_normals_projection(self, victim, monkeypatch):
+        """Untargeted variant with normals — exercises the AAAI'20
+        inner-point projection (`util/clip_utils.py:90-140`)."""
+        rh.patch_cuda(monkeypatch)
+        import torch
+        from CW.UKNN import CWUKNN
+        from util.adv_utils import UntargetedLogitsAdvLoss
+        from util.clip_utils import ProjectInnerClipLinf
+        from util.dist_utils import ChamferkNNDist
+        from hitadv_tpu import losses
+        from hitadv_tpu.attacks import base, cw
+        from hitadv_tpu.data import synthetic_clouds
+
+        m, params = victim
+        pts, _ = synthetic_clouds(B, num_points=N, seed=13)  # [B, N, 6]
+        pts = np.asarray(pts, np.float32)
+        labels = _clean_labels(m, pts)
+        budget, iters = 0.18, 8
+
+        atk = CWUKNN(m, UntargetedLogitsAdvLoss(kappa=0.0),
+                     ChamferkNNDist(), ProjectInnerClipLinf(budget),
+                     attack_lr=1e-3, num_iter=iters)
+        adv_ref, succ_ref = atk.attack(torch.from_numpy(pts.copy()),
+                                       labels)
+
+        ours = cw.make_cw_knn(
+            _jax_logits_fn(params),
+            base.make_adv_fn("logits", kappa=0.0, targeted=False),
+            losses.chamfer_knn_dist,
+            clip_fn=lambda a, o, n: losses.project_inner_clip_linf(
+                a, o, budget, n),
+            cfg=cw.CWKNNConfig(attack_lr=1e-3, num_iter=iters,
+                               targeted=False))
+        res = ours(jnp.asarray(pts),
+                   jnp.asarray(labels.numpy().astype(np.int32)),
+                   jax.random.PRNGKey(0))
+        adv = np.asarray(res.adv_points)
+        np.testing.assert_allclose(adv, adv_ref, atol=2e-3)
+        assert int(res.success.sum()) == int(succ_ref)
+
+
+class TestCWAddParity:
+    """`CW/Add.py:45-220` — optimize only the added points, critical-
+    point seeding, binary search over the chamfer weight."""
+
+    def test_trajectory(self, victim, monkeypatch):
+        rh.patch_cuda(monkeypatch)
+        import torch
+        from CW.Add import CWAdd
+        from util.adv_utils import LogitsAdvLoss
+        from util.dist_utils import ChamferDist
+        from hitadv_tpu.attacks import add, base
+
+        m, params = victim
+        x = np.random.RandomState(15).randn(B, N, 3).astype(
+            np.float32) * .5
+        clean = _clean_labels(m, x)
+        target = clean.clone()
+        target[B // 2:] = (clean[B // 2:] + 11) % 40
+        S, num_add, iters = 2, 16, 5
+
+        # pin init noise: added points start ON original points, so the
+        # iteration-0 chamfer gradient direction IS the noise direction
+        noise = np.random.RandomState(42).randn(
+            S, B, num_add, 3).astype(np.float32) * 1e-7
+        monkeypatch.setattr(
+            torch, "randn",
+            rh.RandQueue([np.swapaxes(noise[s], 1, 2) / 1e-7
+                          for s in range(S)]))
+
+        atk = CWAdd(m, LogitsAdvLoss(kappa=1.0), ChamferDist(),
+                    attack_lr=1e-2, init_weight=5e3, max_weight=4e4,
+                    binary_step=S, num_iter=iters, num_add=num_add)
+        _, adv_ref, succ_ref = atk.attack(torch.from_numpy(x.copy()),
+                                          target)
+        # reference returns [B, N + num_add, 3] (ori ++ added)
+
+        ours = add.make_cw_add(
+            _jax_logits_fn(params),
+            base.make_adv_fn("logits", kappa=1.0, targeted=True),
+            cfg=add.AddConfig(attack_lr=1e-2, init_weight=5e3,
+                              max_weight=4e4, binary_step=S,
+                              num_iter=iters, num_add=num_add),
+            init_overrides={"noise": noise})
+        res = ours(jnp.asarray(x),
+                   jnp.asarray(target.numpy().astype(np.int32)),
+                   jax.random.PRNGKey(0))
+        adv = np.asarray(res.adv_points)
+
+        assert adv.shape == adv_ref.shape == (B, N + num_add, 3)
+        # the original points pass through untouched
+        np.testing.assert_allclose(adv[:, :N], x, atol=1e-6)
+        # added points: the chamfer adv2ori argmin flips between
+        # frameworks when a moved point sits near-equidistant to two
+        # originals, so a few coordinates diverge — fraction-level
+        assert _coord_match(adv, adv_ref, 2e-3) > 0.95, (
+            _coord_match(adv, adv_ref, 2e-3))
+        assert int(res.success.sum()) == int(succ_ref)
+
+
+class TestAdvPCParity:
+    """`CW/AdvPC.py:40-180` — AE-regularized CW, targeted sense."""
+
+    def test_trajectory(self, victim, monkeypatch):
+        rh.patch_cuda(monkeypatch)
+        import torch
+        from CW.AdvPC import CWAdvPC
+        from util.adv_utils import LogitsAdvLoss
+        from util.clip_utils import ClipPointsLinf
+        from hitadv_tpu import losses
+        from hitadv_tpu.attacks import advpc, base
+        from hitadv_tpu.models import autoencoder
+
+        m, params = victim
+        x = np.random.RandomState(14).randn(B, N, 3).astype(
+            np.float32) * .5
+        clean = _clean_labels(m, x)
+        target = (clean + 9) % 40
+        budget, iters = 0.18, 5
+
+        ae_params = autoencoder.init(jax.random.PRNGKey(2),
+                                     num_points=N)
+        t_ae = rh.build_torch_ae(ae_params, N)
+        # AE mirror sanity: same reconstruction both frameworks
+        with torch.no_grad():
+            want = t_ae(torch.from_numpy(
+                np.swapaxes(x, 1, 2).copy())).numpy()
+        got = np.asarray(autoencoder.apply(ae_params, jnp.asarray(x)))
+        np.testing.assert_allclose(got, np.swapaxes(want, 1, 2),
+                                   atol=2e-4)
+
+        atk = CWAdvPC(m, t_ae, LogitsAdvLoss(kappa=1.0), None,
+                      attack_lr=1e-2, binary_step=1, num_iter=iters,
+                      GAMMA=0.5, clip_func=ClipPointsLinf(budget))
+        _, adv_ref, succ_ref = atk.attack(torch.from_numpy(x.copy()),
+                                          target, clean)
+
+        ours = advpc.make_advpc(
+            _jax_logits_fn(params),
+            lambda p: autoencoder.apply(ae_params, p),
+            base.make_adv_fn("logits", kappa=1.0, targeted=True),
+            lambda a, o: losses.clip_points_linf(a, o, budget),
+            advpc.AdvPCConfig(attack_lr=1e-2, binary_step=1,
+                              num_iter=iters, gamma=0.5, targeted=True))
+        res = ours(jnp.asarray(x),
+                   jnp.asarray(target.numpy().astype(np.int32)),
+                   jax.random.PRNGKey(0),
+                   y_truth=jnp.asarray(clean.numpy().astype(np.int32)))
+        adv = np.asarray(res.adv_points)
+        # the unpinned 1e-7 init noise (torch global RNG state depends
+        # on test order) forks a couple of coordinates by ~5e-3
+        assert _coord_match(adv, adv_ref, 2e-3) > 0.99, (
+            _coord_match(adv, adv_ref, 2e-3))
+        assert int(res.success.sum()) == int(succ_ref)
+
+
 class TestHiTADVParity:
     """`ShapeAttack/HiT_ADV.py:44-287` with every random draw pinned."""
 
