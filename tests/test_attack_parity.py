@@ -265,6 +265,51 @@ class TestFGMParityExtended:
         assert int(res.success.sum()) == int(succ_ref)
 
 
+class TestFGSMRSParity:
+    def test_fgsm_rs(self, victim, monkeypatch):
+        rh.patch_cuda(monkeypatch)
+        import torch
+        from FGM.FGSM import FGSM_RS
+        from util.adv_utils import CrossEntropyAdvLoss
+        from util.clip_utils import ClipPointsLinf
+        from hitadv_tpu.attacks import base, fgm
+
+        m, params = victim
+        x = np.random.RandomState(16).randn(B, N, 3).astype(
+            np.float32) * .5
+        labels = _clean_labels(m, x)
+        budget = 0.08
+        key = jax.random.PRNGKey(17)
+
+        # replicate our make_fgsm_rs init draw so torch starts identically
+        u = np.asarray(jax.random.uniform(
+            key, x.shape, minval=-budget, maxval=budget))
+
+        def fake_uniform_(self, lo, hi):
+            assert tuple(self.shape) == u.shape
+            self.copy_(torch.from_numpy(u))
+            return self
+
+        monkeypatch.setattr(torch.Tensor, "uniform_", fake_uniform_,
+                            raising=False)
+        atk = FGSM_RS(m, CrossEntropyAdvLoss(), budget,
+                      ClipPointsLinf(budget))
+        atk.pre_head = None
+        adv_ref, succ_ref = atk.attack(torch.from_numpy(x.copy()),
+                                       labels)
+        adv_ref = adv_ref.numpy()
+
+        ours = fgm.make_fgsm_rs(
+            _jax_logits_fn(params), base.make_adv_fn("cross_entropy"),
+            fgm.FGMConfig(budget=budget))
+        res = ours(jnp.asarray(x),
+                   jnp.asarray(labels.numpy().astype(np.int32)), key)
+        adv = np.asarray(res.adv_points)
+        assert _coord_match(adv, adv_ref, 1e-4) > 0.99, (
+            _coord_match(adv, adv_ref, 1e-4))
+        assert int(res.success.sum()) == int(succ_ref)
+
+
 class TestSaliencyDropParity:
     """`Saliency/Drop.py:49-113` — iterative saliency-scored dropping."""
 

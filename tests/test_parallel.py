@@ -141,3 +141,35 @@ class TestPopulationParallel:
         r2 = pop(pts, labels, jax.random.PRNGKey(7))
         np.testing.assert_array_equal(np.asarray(r1.adv_points),
                                       np.asarray(r2.adv_points))
+
+
+class TestShardedPallasPaths:
+    """Pallas kernels must compose with shard_map batch sharding — the
+    multi-chip deployment runs the fused DGCNN/geometry kernels on
+    per-shard shapes (forced pallas backend, interpret mode on CPU)."""
+
+    def test_hit_adv_on_fused_dgcnn_sharded(self, mesh):
+        from hitadv_tpu import models
+        from hitadv_tpu.attacks import hit_adv
+        from hitadv_tpu.ops import geometry as G
+
+        init, apply = models.get_model("dgcnn")
+        params = init(jax.random.PRNGKey(0))
+        logits_fn = lambda x: apply(params, x)  # noqa: E731
+        cfg = hit_adv.HiTADVConfig(binary_step=1, num_iter=2,
+                                   central_num=8, total_central_num=12,
+                                   curv_loss_knn=4)
+        attack = hit_adv.make_hit_adv(
+            logits_fn, base.make_adv_fn("logits", kappa=0.0,
+                                        targeted=False), cfg)
+        pts, labels = synthetic_clouds(16, num_points=192, seed=0)
+        G.set_backend("pallas")
+        try:
+            res = shard_attack(attack, mesh)(
+                jnp.asarray(pts), jnp.asarray(labels),
+                jax.random.PRNGKey(0))
+            adv = np.asarray(res.adv_points)
+        finally:
+            G.set_backend("auto")
+        assert adv.shape == (16, 192, 3)
+        assert np.isfinite(adv).all()
