@@ -123,22 +123,18 @@ def make_apply(cfg: DGCNNConfig = DGCNNConfig()):
                                     params[f"bn{i}"], h, cfg.k)
             else:
                 e = get_graph_feature(h, cfg.k)               # [B,N,k,2C]
-                e = F.leaky_relu(F.batchnorm(
-                    params[f"bn{i}"], F.linear(params[f"conv{i}"], e)))
+                e = F.leaky_relu(F.linear_bn(params[f"conv{i}"], params[f"bn{i}"], e))
                 h = jnp.max(e, axis=2)                        # [B, N, C']
             feats.append(h)
 
         h = jnp.concatenate(feats, axis=-1)                   # [B, N, 512]
-        h = F.leaky_relu(F.batchnorm(params["bn5"],
-                                     F.linear(params["conv5"], h)))
+        h = F.leaky_relu(F.linear_bn(params["conv5"], params["bn5"], h))
         gmax = jnp.max(h, axis=1)
         gavg = jnp.mean(h, axis=1)
         g = jnp.concatenate([gmax, gavg], axis=-1)            # [B, 2*emb]
 
-        g = F.leaky_relu(F.batchnorm(params["bn6"],
-                                     F.linear(params["linear1"], g)))
-        g = F.leaky_relu(F.batchnorm(params["bn7"],
-                                     F.linear(params["linear2"], g)))
+        g = F.leaky_relu(F.linear_bn(params["linear1"], params["bn6"], g))
+        g = F.leaky_relu(F.linear_bn(params["linear2"], params["bn7"], g))
         return F.linear(params["linear3"], g)
     return apply
 

@@ -44,12 +44,12 @@ def _transform_init(key: jax.Array, K: int) -> Dict:
 
 
 def _transform_apply(p: Dict, x: jnp.ndarray, K: int) -> jnp.ndarray:
-    h = F.relu(F.batchnorm(p["bn1"], F.linear(p["conv1"], x), eps=_EPS))
-    h = F.relu(F.batchnorm(p["bn2"], F.linear(p["conv2"], h), eps=_EPS))
-    h = F.relu(F.batchnorm(p["bn3"], F.linear(p["conv3"], h), eps=_EPS))
+    h = F.relu(F.linear_bn(p["conv1"], p["bn1"], x, eps=_EPS))
+    h = F.relu(F.linear_bn(p["conv2"], p["bn2"], h, eps=_EPS))
+    h = F.relu(F.linear_bn(p["conv3"], p["bn3"], h, eps=_EPS))
     g = jnp.max(h, axis=1)
-    g = F.relu(F.batchnorm(p["bn4"], F.linear(p["fc1"], g), eps=_EPS))
-    g = F.relu(F.batchnorm(p["bn5"], F.linear(p["fc2"], g), eps=_EPS))
+    g = F.relu(F.linear_bn(p["fc1"], p["bn4"], g, eps=_EPS))
+    g = F.relu(F.linear_bn(p["fc2"], p["bn5"], g, eps=_EPS))
     return F.linear(p["fc3"], g).reshape(-1, K, K)
 
 
@@ -81,22 +81,18 @@ def apply_full(params: Dict, x: jnp.ndarray
     """x: [B, N, 3] -> (logits, per-channel argmax point idx)."""
     trans = _transform_apply(params["input_transform"], x, 3)
     h = jnp.matmul(x, trans, preferred_element_type=jnp.float32)
-    h = F.relu(F.batchnorm(params["bn1"], F.linear(params["conv1"], h),
-                           eps=_EPS))
-    h = F.relu(F.batchnorm(params["bn2"], F.linear(params["conv2"], h),
-                           eps=_EPS))
+    h = F.relu(F.linear_bn(params["conv1"], params["bn1"], h, eps=_EPS))
+    h = F.relu(F.linear_bn(params["conv2"], params["bn2"], h, eps=_EPS))
     ftrans = _transform_apply(params["feature_transform"], h, 64)
     h = jnp.matmul(h, ftrans, preferred_element_type=jnp.float32)
-    h = F.relu(F.batchnorm(params["bn3"], F.linear(params["conv3"], h),
-                           eps=_EPS))
-    h = F.relu(F.batchnorm(params["bn4"], F.linear(params["conv4"], h),
-                           eps=_EPS))
+    h = F.relu(F.linear_bn(params["conv3"], params["bn3"], h, eps=_EPS))
+    h = F.relu(F.linear_bn(params["conv4"], params["bn4"], h, eps=_EPS))
     h = F.relu(F.batchnorm(params["bn5"], F.conv1d(params["conv5"], h),
                            eps=_EPS))
     g = jnp.max(h, axis=1)                                    # [B, 1024]
     idx = jnp.argmax(h, axis=1)                               # [B, 1024]
-    g = F.relu(F.batchnorm(params["bn6"], F.linear(params["fc1"], g)))
-    g = F.relu(F.batchnorm(params["bn7"], F.linear(params["fc2"], g)))
+    g = F.relu(F.linear_bn(params["fc1"], params["bn6"], g))
+    g = F.relu(F.linear_bn(params["fc2"], params["bn7"], g))
     return F.linear(params["fc3"], g), idx
 
 

@@ -43,8 +43,8 @@ def _local_op_apply(p, x):
 
     Parity: `model/pct_cls.py:6-23`.
     """
-    h = F.relu(F.batchnorm(p["bn1"], F.linear(p["conv1"], x)))
-    h = F.relu(F.batchnorm(p["bn2"], F.linear(p["conv2"], h)))
+    h = F.relu(F.linear_bn(p["conv1"], p["bn1"], x))
+    h = F.relu(F.linear_bn(p["conv2"], p["bn2"], h))
     return jnp.max(h, axis=2)
 
 
@@ -74,8 +74,7 @@ def _sa_layer_apply(p, x):
     # torch: x_r = bmm(x_v [B,C,N], attention [B,N,N]) -> channels-last:
     x_r = jnp.matmul(jnp.swapaxes(attention, 1, 2), v,
                      preferred_element_type=jnp.float32)      # [B, N, C]
-    x_r = F.relu(F.batchnorm(p["after_norm"],
-                             F.linear(p["trans_conv"], x - x_r)))
+    x_r = F.relu(F.linear_bn(p["trans_conv"], p["after_norm"], x - x_r))
     return x + x_r
 
 
@@ -117,8 +116,8 @@ def apply(params: Dict, x: jnp.ndarray,
     if key is not None:
         k1, k2 = jax.random.split(key)
 
-    h = F.relu(F.batchnorm(params["bn1"], F.linear(params["conv1"], x)))
-    h = F.relu(F.batchnorm(params["bn2"], F.linear(params["conv2"], h)))
+    h = F.relu(F.linear_bn(params["conv1"], params["bn1"], x))
+    h = F.relu(F.linear_bn(params["conv2"], params["bn2"], h))
 
     new_xyz, grouped = G.sample_and_group_knn(512, 32, xyz, h, key=k1)
     feat0 = _local_op_apply(params["gather0"], grouped)       # [B,512,128]
@@ -126,24 +125,19 @@ def apply(params: Dict, x: jnp.ndarray,
                                               key=k2)
     feat1 = _local_op_apply(params["gather1"], grouped)       # [B,256,256]
 
-    h = F.relu(F.batchnorm(params["pt_bn1"],
-                           F.linear(params["pt_conv1"], feat1)))
-    h = F.relu(F.batchnorm(params["pt_bn2"],
-                           F.linear(params["pt_conv2"], h)))
+    h = F.relu(F.linear_bn(params["pt_conv1"], params["pt_bn1"], feat1))
+    h = F.relu(F.linear_bn(params["pt_conv2"], params["pt_bn2"], h))
     x1 = _sa_layer_apply(params["sa1"], h)
     x2 = _sa_layer_apply(params["sa2"], x1)
     x3 = _sa_layer_apply(params["sa3"], x2)
     x4 = _sa_layer_apply(params["sa4"], x3)
     h = jnp.concatenate([x1, x2, x3, x4], axis=-1)            # [B,256,1024]
     h = jnp.concatenate([h, feat1], axis=-1)                  # [B,256,1280]
-    h = F.leaky_relu(F.batchnorm(params["bn_fuse"],
-                                 F.linear(params["conv_fuse"], h)))
+    h = F.leaky_relu(F.linear_bn(params["conv_fuse"], params["bn_fuse"], h))
     g = jnp.max(h, axis=1)                                    # [B, 1024]
 
-    g = F.leaky_relu(F.batchnorm(params["bn6"],
-                                 F.linear(params["linear1"], g)))
-    g = F.leaky_relu(F.batchnorm(params["bn7"],
-                                 F.linear(params["linear2"], g)))
+    g = F.leaky_relu(F.linear_bn(params["linear1"], params["bn6"], g))
+    g = F.leaky_relu(F.linear_bn(params["linear2"], params["bn7"], g))
     return F.linear(params["linear3"], g)
 
 

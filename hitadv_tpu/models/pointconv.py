@@ -110,8 +110,7 @@ def _stage_apply(p, stage: PCStage, xyz, points):
     agg = jnp.einsum("bsnc,bsnw->bscw", h, weights,
                      preferred_element_type=jnp.float32)
     agg = agg.reshape(B, S, -1)                               # [B,S,16*C']
-    out = F.relu(F.batchnorm(p["bn_linear"],
-                             F.linear(p["linear"], agg)))
+    out = F.relu(F.linear_bn(p["linear"], p["bn_linear"], agg))
     return new_xyz, out
 
 
@@ -139,8 +138,8 @@ def apply(params: Dict, x: jnp.ndarray,
     h_xyz, h = _stage_apply(params["sa2"], STAGES[1], h_xyz, h)
     _, h = _stage_apply(params["sa3"], STAGES[2], h_xyz, h)
     g = h[:, 0, :]                                            # [B, 1024]
-    g = F.relu(F.batchnorm(params["bn1"], F.linear(params["fc1"], g)))
-    g = F.relu(F.batchnorm(params["bn2"], F.linear(params["fc2"], g)))
+    g = F.relu(F.linear_bn(params["fc1"], params["bn1"], g))
+    g = F.relu(F.linear_bn(params["fc2"], params["bn2"], g))
     return F.linear(params["fc3"], g)
 
 

@@ -47,12 +47,11 @@ def _stn_apply(p: Dict, x: jnp.ndarray, k: int):
     feats = []
     h = x
     for i in range(3):
-        h = F.relu(F.batchnorm(p["conv"][f"bn{i}"],
-                               F.linear(p["conv"][f"conv{i}"], h)))
+        h = F.relu(F.linear_bn(p["conv"][f"conv{i}"], p["conv"][f"bn{i}"], h))
         feats.append(h)
     g = jnp.max(h, axis=1)                                    # [B, 1024]
-    g = F.relu(F.batchnorm(p["bn4"], F.linear(p["fc1"], g)))
-    g = F.relu(F.batchnorm(p["bn5"], F.linear(p["fc2"], g)))
+    g = F.relu(F.linear_bn(p["fc1"], p["bn4"], g))
+    g = F.relu(F.linear_bn(p["fc2"], p["bn5"], g))
     g = F.linear(p["fc3"], g)                                 # [B, k*k]
     iden = jnp.eye(k, dtype=g.dtype).reshape(1, k * k)
     trans = (g + iden).reshape(-1, k, k)
@@ -128,20 +127,18 @@ def apply_full(params: Dict, x: jnp.ndarray) -> PointNetOutput:
     else:
         h = jnp.matmul(x, trans, preferred_element_type=jnp.float32)
 
-    h = F.relu(F.batchnorm(params["bn1"], F.linear(params["conv1"], h)))
+    h = F.relu(F.linear_bn(params["conv1"], params["bn1"], h))
     conv1_out = h
     trans_feat, fstn_feats = _stn_apply(params["fstn"], h, 64)
     h = jnp.matmul(h, trans_feat, preferred_element_type=jnp.float32)
-    h = F.relu(F.batchnorm(params["bn2"], F.linear(params["conv2"], h)))
+    h = F.relu(F.linear_bn(params["conv2"], params["bn2"], h))
     conv2_out = h
-    h = F.batchnorm(params["bn3"], F.linear(params["conv3"], h))
+    h = F.linear_bn(params["conv3"], params["bn3"], h)
     g = jnp.max(h, axis=1)                                    # [B, 1024]
 
-    g = F.relu(F.batchnorm(params["head_bn1"],
-                           F.linear(params["head_fc1"], g)))
+    g = F.relu(F.linear_bn(params["head_fc1"], params["head_bn1"], g))
     # reference order: fc2 -> dropout(identity in eval) -> bn -> relu
-    g = F.relu(F.batchnorm(params["head_bn2"],
-                           F.linear(params["head_fc2"], g)))
+    g = F.relu(F.linear_bn(params["head_fc2"], params["head_bn2"], g))
     logits = F.linear(params["head_fc3"], g)
 
     # feature tuple order matches model/feature_models.py:131-142

@@ -88,8 +88,8 @@ def apply_full(params: Dict, x: jnp.ndarray,
     _, l3_points = _sa_apply(params["sa3"], SSG_STAGES[2], l2_xyz,
                              l2_points, None)
     g = l3_points[:, 0, :]                                    # [B, 1024]
-    g = F.relu(F.batchnorm(params["bn1"], F.linear(params["fc1"], g)))
-    g = F.relu(F.batchnorm(params["bn2"], F.linear(params["fc2"], g)))
+    g = F.relu(F.linear_bn(params["fc1"], params["bn1"], g))
+    g = F.relu(F.linear_bn(params["fc2"], params["bn2"], g))
     logits = F.linear(params["fc3"], g)
     return logits, l3_points
 
