@@ -250,13 +250,21 @@ class AddClusterConfig:
 
 def make_cw_add_clusters(logits_fn: Callable, adv_fn: Callable,
                          cfg: AddClusterConfig = AddClusterConfig(),
-                         seed: int = 0):
+                         seed: int = 0, *, init_overrides=None):
     """CWAddClusters: DBSCAN-seeded compact clusters.
 
     The DBSCAN seeding is host-side (once per batch); the optimization
     is one jitted program taking the seeds as input.
+
+    init_overrides: optional ``{"clusters": [B, num_add*cl_num_p, 3],
+    "noise": [S, B, num_add*cl_num_p, 3]}`` pinning the seeding and the
+    per-step 1e-7 init noise (`CW/Add_Cluster.py:167-169`) for
+    trajectory-parity testing.
     """
     A = cfg.num_add * cfg.cl_num_p
+    if init_overrides is not None:
+        init_overrides = {k: jnp.asarray(v)
+                          for k, v in init_overrides.items()}
 
     def dist_book(added, ori):
         return far_chamfer_dist(added, ori, cfg.num_add)
@@ -292,11 +300,15 @@ def make_cw_add_clusters(logits_fn: Callable, adv_fn: Callable,
             return (adv, opt, weight, bestdist, bestscore, o_bestdist,
                     o_bestscore, o_bestadd), ()
 
-        def binary_step(carry, step_key):
+        def binary_step(carry, step_in):
+            step_key, step_idx = step_in
             (lower, upper, weight, o_bestdist, o_bestscore, o_bestadd,
              _) = carry
-            adv0 = clusters0 + jax.random.normal(step_key,
-                                                 clusters0.shape) * 1e-7
+            if init_overrides is not None:
+                adv0 = clusters0 + init_overrides["noise"][step_idx]
+            else:
+                adv0 = clusters0 + jax.random.normal(
+                    step_key, clusters0.shape) * 1e-7
             inner0 = (adv0, adam_init(adv0), weight,
                       jnp.full((B,), 1e10), jnp.full((B,), -1, jnp.int32),
                       o_bestdist, o_bestscore, o_bestadd)
@@ -318,7 +330,8 @@ def make_cw_add_clusters(logits_fn: Callable, adv_fn: Callable,
                 jnp.full((B,), 1e10), jnp.full((B,), -1, jnp.int32),
                 zeros_add, zeros_add)
         (lower, _, _, _, _, o_bestadd, last_adv), _ = lax.scan(
-            binary_step, init, step_keys)
+            binary_step, init,
+            (step_keys, jnp.arange(cfg.binary_step)))
         success = lower > 0.0
         added = jnp.where(success[:, None, None], o_bestadd, last_adv)
         adv_final = jnp.concatenate([ori, added], axis=1)
@@ -328,11 +341,16 @@ def make_cw_add_clusters(logits_fn: Callable, adv_fn: Callable,
 
     def attack(points, labels, key) -> AttackResult:
         ori = points[..., :3]
-        cri = get_critical_points(logits_fn, ori, labels, cfg.num_cri)
-        seeds = _cluster_seeds(np.asarray(cri), cfg.num_add, cfg.cl_num_p,
-                               np.random.RandomState(seed))
-        clusters0 = jnp.asarray(
-            seeds.reshape(ori.shape[0], A, 3), jnp.float32)
+        if init_overrides is not None and "clusters" in init_overrides:
+            clusters0 = init_overrides["clusters"]
+        else:
+            cri = get_critical_points(logits_fn, ori, labels,
+                                      cfg.num_cri)
+            seeds = _cluster_seeds(np.asarray(cri), cfg.num_add,
+                                   cfg.cl_num_p,
+                                   np.random.RandomState(seed))
+            clusters0 = jnp.asarray(
+                seeds.reshape(ori.shape[0], A, 3), jnp.float32)
         return optimize(ori, labels, clusters0, key)
 
     return attack

@@ -609,6 +609,88 @@ class TestCWAddParity:
         assert int(res.success.sum()) == int(succ_ref)
 
 
+class TestCWAddClustersParity:
+    """`CW/Add_Cluster.py:48-278` — FarChamferDist cluster attack.
+
+    Both sides get the SAME cluster seeds (the seeding itself is
+    host-side randomized sampling; sampling order cannot be synced
+    across implementations, so it is injected) and pinned init noise.
+    """
+
+    def test_trajectory(self, victim, monkeypatch):
+        rh.patch_cuda(monkeypatch)
+        import torch
+        from CW.Add_Cluster import CWAddClusters
+        from util.adv_utils import CrossEntropyAdvLoss
+        from util.dist_utils import FarChamferDist
+        from hitadv_tpu.attacks import add, base
+
+        m, params = victim
+        x = np.random.RandomState(18).randn(B, N, 3).astype(
+            np.float32) * .5
+        clean = _clean_labels(m, x)
+        target = clean.clone()
+        target[B // 2:] = (clean[B // 2:] + 13) % 40
+        S, num_add, clp, iters = 2, 2, 8, 5
+        A = num_add * clp
+
+        # shared seeds: our DBSCAN seeding over our critical points
+        cri = add.get_critical_points(
+            _jax_logits_fn(params), jnp.asarray(x),
+            jnp.asarray(target.numpy().astype(np.int32)), 32)
+        seeds = add._cluster_seeds(np.asarray(cri), num_add, clp,
+                                   np.random.RandomState(3))
+        monkeypatch.setattr(CWAddClusters, "_init_centers",
+                            lambda self, pc, label: seeds)
+
+        noise = np.random.RandomState(43).randn(
+            S, B, A, 3).astype(np.float32) * 1e-7
+        monkeypatch.setattr(
+            torch, "randn",
+            rh.RandQueue([np.swapaxes(noise[s], 1, 2) / 1e-7
+                          for s in range(S)]))
+
+        # CE objective: the margin loss's clamp is a hard boundary that
+        # flips whole examples' gradients on/off between frameworks
+        # (clamp activation differs at ~1e-4 logit drift); the margin
+        # formula itself is covered by the CWPerturb/KNN parity tests
+        atk = CWAddClusters(m, CrossEntropyAdvLoss(),
+                            FarChamferDist(num_add=num_add),
+                            attack_lr=1e-2, init_weight=5., max_weight=30.,
+                            binary_step=S, num_iter=iters,
+                            num_add=num_add, cl_num_p=clp)
+        _, adv_ref, succ_ref = atk.attack(torch.from_numpy(x.copy()),
+                                          target)
+
+        ours = add.make_cw_add_clusters(
+            _jax_logits_fn(params),
+            base.make_adv_fn("cross_entropy"),
+            cfg=add.AddClusterConfig(attack_lr=1e-2, init_weight=5.,
+                                     max_weight=30., binary_step=S,
+                                     num_iter=iters, num_add=num_add,
+                                     cl_num_p=clp),
+            init_overrides={
+                "clusters": seeds.reshape(B, A, 3).astype(np.float32),
+                "noise": noise,
+            })
+        res = ours(jnp.asarray(x),
+                   jnp.asarray(target.numpy().astype(np.int32)),
+                   jax.random.PRNGKey(0))
+        adv = np.asarray(res.adv_points)
+
+        assert adv.shape == adv_ref.shape == (B, N + A, 3)
+        np.testing.assert_allclose(adv[:, :N], x, atol=1e-6)
+        # Added points start as EXACT duplicates of originals, so the
+        # victim's max-pool hits exact f32 feature ties — torch routes
+        # the tie gradient to the first index, jax splits it evenly.
+        # That subgradient choice is inherent cross-framework
+        # divergence for the Add family; ~10% of added coordinates fork
+        # while the rest track the reference.
+        assert _coord_match(adv, adv_ref, 2e-3) > 0.85, (
+            _coord_match(adv, adv_ref, 2e-3))
+        assert int(res.success.sum()) == int(succ_ref)
+
+
 class TestAdvPCParity:
     """`CW/AdvPC.py:40-180` — AE-regularized CW, targeted sense."""
 
