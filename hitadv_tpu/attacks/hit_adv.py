@@ -95,27 +95,16 @@ def make_hit_adv(logits_fn: Callable, adv_fn: Callable,
         init_overrides = {k: jnp.asarray(v)
                           for k, v in init_overrides.items()}
 
-    def kernel_density(central, ori, delta):
-        """ker[b, j, n] = exp(-|ori_n - c_j| / (2 δ_j²)). Parity :298-304
-        (note: euclidean norm, NOT squared, in the exponent).
-
-        The distance is the direct broadcast-subtract form (reference
-        `torch.norm(pc - central)`, :302), NOT the matmul-form
-        square_distance: central points coincide with cloud points, and
-        the |a|²+|b|²-2ab form loses ~5e-5 absolute near d=0 to
-        cancellation, which exp(-d/2δ²) amplifies ~50x at δ=0.1
-        (measured 2.6e-3 kernel error vs torch). XLA fuses the
-        subtract-square-reduce, so nothing [B,Cn,N,3] is materialized."""
-        diff = ori[:, None, :, :] - central[:, :, None, :]    # [B,Cn,N,3]
-        d = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-24)   # [B, Cn, N]
-        return jnp.exp(-d / (2.0 * delta * delta)[..., None])
-
-    def deform(ori, pert, ker):
-        """tmp_adv = Σ_j (ori + pert_j)·ker_j / Σ_j ker_j as one einsum
-        (replaces the Cn-step Python loop at :170-175)."""
-        deno = jnp.sum(ker, axis=1)                           # [B, N]
-        num = jnp.einsum("bjc,bjn->bnc", pert, ker,
-                         preferred_element_type=jnp.float32)  # [B, N, 3]
+    def deform(ori, central, pert, delta):
+        """tmp_adv = Σ_j (ori + pert_j)·ker_j / Σ_j ker_j — the
+        kernel_density (:298-304, euclidean-norm exponent) + blend loop
+        (:170-175) pair via `G.gaussian_blend`. Deliberately the plain
+        XLA program: measured on v5e at the flagship shape, autodiff
+        with saved residuals runs fwd+bwd(pert, delta) in the cost of
+        the forward alone (0.62 ms), while the fused recompute-backward
+        Pallas pair (`G.gaussian_blend_fused`) loses ~2x — the exp
+        field is compute-bound, not memory-bound."""
+        num, deno = G.gaussian_blend(central, ori, delta, pert)
         return ori + num / (deno[..., None])
 
     def transformation_loss(pert, delta):
@@ -197,8 +186,7 @@ def make_hit_adv(logits_fn: Callable, adv_fn: Callable,
             delta = jnp.clip(delta, cfg.min_sigm, cfg.max_sigm)
 
             def loss_fn(pert, delta):
-                ker = kernel_density(central_points, ori, delta)
-                tmp_adv = deform(ori, pert, ker)
+                tmp_adv = deform(ori, central_points, pert, delta)
                 logits = logits_fn(tmp_adv)
                 adv_loss = jnp.mean(adv_fn(logits, labels))
 

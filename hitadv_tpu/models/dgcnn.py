@@ -43,7 +43,7 @@ def get_graph_feature(x: jnp.ndarray, k: int) -> jnp.ndarray:
     # cutting the knn out of the autodiff graph removes its whole
     # backward (the dists cotangent is identically zero here)
     xs = lax.stop_gradient(x)
-    idx = G.knn_points(xs, xs, k).idx                         # [B, N, k]
+    idx = G.knn_idx(xs, xs, k)                                # [B, N, k]
     neighbors = G.index_points(x, idx)                        # [B, N, k, C]
     center = jnp.broadcast_to(x[:, :, None, :], neighbors.shape)
     return jnp.concatenate([neighbors - center, center], axis=-1)
@@ -82,7 +82,7 @@ def edge_conv_fused(p_conv: Dict, p_bn: Dict, h: jnp.ndarray,
     b = p_bn["bias"] - p_bn["mean"] * a
 
     hs = lax.stop_gradient(h)        # idx-only consumer (see above)
-    idx = G.knn_points(hs, hs, k).idx                         # [B, N, k]
+    idx = G.knn_idx(hs, hs, k)                                # [B, N, k]
     y = F.linear({"w": Wd * a[None]}, h)                      # [B, N, C']
     z = F.linear({"w": (Wc - Wd) * a[None]}, h) + b
     mx = G.graph_max_pool(y, idx)                             # [B, N, C']

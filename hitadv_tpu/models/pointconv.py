@@ -40,10 +40,12 @@ STAGES = (
 
 
 def compute_density(xyz: jnp.ndarray, bandwidth: float) -> jnp.ndarray:
-    """KDE density, parity: `util/pointconv_util.py:209-219`. [B, N]."""
-    sq = G.pairwise_distance(xyz)
-    gauss = jnp.exp(-sq / (2.0 * bandwidth * bandwidth)) / (2.5 * bandwidth)
-    return jnp.mean(gauss, axis=-1)
+    """KDE density, parity: `util/pointconv_util.py:209-219`. [B, N].
+
+    Dispatches to the fused Pallas kernel on TPU (no [B, N, N] Gaussian
+    in HBM in either direction — the hottest op of this victim under
+    attack since the cloud moves every iteration)."""
+    return G.kde_density(xyz, bandwidth)
 
 
 def _densitynet_init(key, hidden=(16, 8)):

@@ -286,10 +286,18 @@ def _knn_pallas_bwd(k, res, grads):
     gq = jnp.sum(2.0 * g_d[..., None] * diff, axis=2)         # [B, S, 3]
     contrib = (-2.0 * g_d[..., None] * diff)                  # [B, S, K, 3]
     B, N, C = points.shape
-    gp = jnp.zeros((B, N, C), jnp.float32)
     flat_idx = idx.reshape(B, -1)
-    gp = jax.vmap(lambda g, i, c: g.at[i].add(c))(
-        gp, flat_idx, contrib.reshape(B, -1, C))
+    if _pallas_active() and N >= 128 and flat_idx.shape[1] >= 512:
+        # XLA scatter-add is pathological on TPU; one-hot^T matmuls
+        # accumulated in VMEM (same kernel as the gather VJP)
+        from hitadv_tpu.ops import pallas_kernels as PK
+
+        gp = PK.scatter_add_rows_pallas(flat_idx,
+                                        contrib.reshape(B, -1, C), N)
+    else:
+        gp = jnp.zeros((B, N, C), jnp.float32)
+        gp = jax.vmap(lambda g, i, c: g.at[i].add(c))(
+            gp, flat_idx, contrib.reshape(B, -1, C))
     return gq.astype(query.dtype), gp.astype(points.dtype)
 
 
@@ -309,6 +317,38 @@ def knn_points(query: jnp.ndarray, points: jnp.ndarray, k: int) -> KNNResult:
         dists, idx = _knn_pallas_diff(query, points, k)
         return KNNResult(dists=dists, idx=idx)
     return _knn_xla(query, points, k)
+
+
+def knn_idx(query: jnp.ndarray, points: jnp.ndarray,
+            k: int) -> jnp.ndarray:
+    """Neighbor INDICES only — for graph rings and grouping gathers.
+
+    Equivalent to ``knn_points(...).idx`` under stop_gradient (torch's
+    topk indices carry no gradient either). On TPU it dispatches to the
+    fused Pallas kernel; the packed single-reduction variant (dist|idx
+    packed int32s, ~2x fewer [TQ, N] sweeps per neighbor) is used only
+    where its ceil(log2(N))-bit mantissa truncation is provably
+    immaterial:
+      - geometry space (C <= 4): truncation is ~2^-14 relative on
+        squared distances — measured 100% neighbor-set agreement with
+        the exact kernel on random clouds;
+      - bf16 features: the 2^-14 relative truncation sits far below
+        the 2^-8 bf16 feature noise.
+    f32 FEATURE space (DGCNN parity mode) takes the exact kernel:
+    packed there swapped near-tied neighbors on ~2.5% of grad entries
+    (measured through a full DGCNN grad on TPU), while the exact
+    kernel reproduces the XLA backend's gradients bitwise.
+    """
+    query = lax.stop_gradient(query)
+    points = lax.stop_gradient(points)
+    if _pallas_active() and k <= points.shape[1]:
+        from hitadv_tpu.ops import pallas_kernels as PK
+
+        packed = (query.shape[-1] <= 4
+                  or query.dtype == jnp.bfloat16)
+        _, idx = PK.knn_pallas(query, points, k, packed=packed)
+        return idx
+    return _knn_xla(query, points, k).idx
 
 
 def knn_indices(points: jnp.ndarray, k: int,
@@ -497,10 +537,10 @@ def knn_point(nsample: int, xyz: jnp.ndarray,
     graph (torch.topk idx has no gradient either). Without it, the
     dists output's zero cotangent still executes the kNN custom VJP:
     measured 25 ms/iter of pure waste in the DGCNN backward before the
-    same fix there.
+    same fix there. Dispatches to the packed index-only kernel on TPU
+    (see knn_idx).
     """
-    return knn_points(lax.stop_gradient(new_xyz),
-                      lax.stop_gradient(xyz), nsample).idx
+    return knn_idx(new_xyz, xyz, nsample)
 
 
 def sample_and_group_knn(npoint: int, nsample: int, xyz: jnp.ndarray,
@@ -584,6 +624,137 @@ def group_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     with its grad is exactly this gather + scatter-add transpose.
     """
     return index_points(points, idx)
+
+
+# ---------------------------------------------------------------------------
+# Gaussian-kernel blend (HiT-ADV deformation field)
+# ---------------------------------------------------------------------------
+
+def gaussian_blend(central: jnp.ndarray, ori: jnp.ndarray,
+                   delta: jnp.ndarray, pert: jnp.ndarray
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Gaussian-kernel deformation blend (HiT-ADV deformation field).
+
+    ``num[b,n,:] = sum_j pert[b,j,:] * ker[b,j,n]``,
+    ``deno[b,n] = sum_j ker[b,j,n]`` with
+    ``ker = exp(-|ori_n - central_j| / (2 delta_j^2))`` — the
+    kernel_density (`ShapeAttack/HiT_ADV.py:298-304`, euclidean norm
+    NOT squared in the exponent) + blend loop (`:168-175`) pair. The
+    deformed cloud is ``ori + num / deno[..., None]``.
+
+    The distance uses the direct broadcast-subtract form, NOT the
+    matmul square_distance: central points coincide with cloud points,
+    and the |a|^2+|b|^2-2ab form loses ~5e-5 absolute near d=0 to
+    cancellation, which exp(-d/2d^2) amplifies ~50x at delta=0.1
+    (measured 2.6e-3 kernel error vs torch).
+
+    This is deliberately the plain XLA program (autodiff saves
+    ker/d as residuals). Measured at the flagship shape (B=64, Cn=192,
+    N=1024, v5e): XLA fwd+bwd(pert, delta) 0.62 ms — the same as the
+    forward alone, because the [B, Cn, N] residual traffic is only
+    ~0.12 ms while recomputing the exp field costs ~0.6 ms. A fused
+    recompute-backward Pallas pair (`gaussian_blend_fused`) measured
+    1.25-1.9 ms: flash-style recompute LOSES when the field is
+    exp-compute-bound rather than memory-bound. Use the fused variant
+    only when B*Cn*N is too large to materialize in HBM.
+    """
+    diff = ori[:, None, :, :] - central[:, :, None, :]        # [B,Cn,N,3]
+    d = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-24)       # [B, Cn, N]
+    ker = jnp.exp(-d / (2.0 * delta * delta)[..., None])
+    deno = jnp.sum(ker, axis=1)                               # [B, N]
+    num = jnp.einsum("bjc,bjn->bnc", pert, ker,
+                     preferred_element_type=jnp.float32)      # [B, N, 3]
+    return num, deno
+
+
+_gaussian_blend_xla = gaussian_blend                          # oracle alias
+
+
+@jax.custom_vjp
+def gaussian_blend_fused(central: jnp.ndarray, ori: jnp.ndarray,
+                         delta: jnp.ndarray, pert: jnp.ndarray
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Memory-lean `gaussian_blend`: Pallas kernels compute ker
+    tile-by-tile in VMEM and never materialize the [B, Cn, N] kernel
+    matrix in HBM (the backward recomputes tiles, flash-style).
+
+    ~2x slower than `gaussian_blend` at the flagship shape (the exp
+    field is compute-bound, see there) — reach for this only when the
+    [B, Cn, N] residuals do not fit in HBM (large-N/batch sweeps).
+    Off-TPU it falls back to the XLA program with recompute-backward.
+    """
+    if _pallas_active():
+        from hitadv_tpu.ops import pallas_kernels as PK
+
+        return PK.gaussian_blend_pallas(central, ori, delta, pert)
+    return gaussian_blend(central, ori, delta, pert)
+
+
+def _gaussian_blend_fused_fwd(central, ori, delta, pert):
+    return (gaussian_blend_fused(central, ori, delta, pert),
+            (central, ori, delta, pert))
+
+
+def _gaussian_blend_fused_bwd(res, g):
+    central, ori, delta, pert = res
+    g_num, g_deno = g
+    if _pallas_active():
+        from hitadv_tpu.ops import pallas_kernels as PK
+
+        return PK.gaussian_blend_bwd_pallas(central, ori, delta, pert,
+                                            g_num, g_deno)
+    _, vjp = jax.vjp(gaussian_blend, central, ori, delta, pert)
+    return vjp((g_num, g_deno))
+
+
+gaussian_blend_fused.defvjp(_gaussian_blend_fused_fwd,
+                            _gaussian_blend_fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# KDE density (PointConv)
+# ---------------------------------------------------------------------------
+
+def _kde_density_xla(xyz, bandwidth):
+    sq = pairwise_distance(xyz)                               # [B, N, N]
+    gauss = (jnp.exp(-sq / (2.0 * bandwidth * bandwidth))
+             / (2.5 * bandwidth))
+    return jnp.mean(gauss, axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def kde_density(xyz: jnp.ndarray, bandwidth: float) -> jnp.ndarray:
+    """Gaussian KDE density, PointConv parity
+    (`util/pointconv_util.py:209-219`): ``mean_j exp(-|x_i - x_j|^2 /
+    (2 bw^2)) / (2.5 bw)`` over the full cloud.
+
+    PointConv recomputes this every attack iteration (the cloud moves),
+    making it the hottest op of that victim. On TPU both directions run
+    as Pallas kernels that never materialize the [B, N, N] Gaussian in
+    HBM (the backward recomputes tiles and uses W's symmetry); off-TPU
+    it is the plain XLA program with autodiff-equivalent gradients.
+    """
+    if _pallas_active():
+        from hitadv_tpu.ops import pallas_kernels as PK
+
+        return PK.kde_density_pallas(xyz, bandwidth)
+    return _kde_density_xla(xyz, bandwidth)
+
+
+def _kde_density_fwd(xyz, bandwidth):
+    return kde_density(xyz, bandwidth), xyz
+
+
+def _kde_density_bwd(bandwidth, xyz, g):
+    if _pallas_active():
+        from hitadv_tpu.ops import pallas_kernels as PK
+
+        return (PK.kde_density_bwd_pallas(xyz, bandwidth, g),)
+    _, vjp = jax.vjp(lambda x: _kde_density_xla(x, bandwidth), xyz)
+    return vjp(g)
+
+
+kde_density.defvjp(_kde_density_fwd, _kde_density_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -102,12 +102,82 @@ def _knn_kernel(q_ref, p_ref, pn_ref, dist_ref, idx_ref, *, k: int,
     idx_ref[0] = out_i
 
 
+def _knn_packed_kernel(q_ref, p_ref, pn_ref, dist_ref, idx_ref, *,
+                       k: int, n_valid: int, nb: int):
+    """Single-reduction variant: distance and index packed into ONE
+    int32 per candidate — low ``nb`` bits carry the column index, the
+    upper bits the f32 distance pattern (d clamped >= 0, so the int32
+    ordering of the bit pattern equals the value ordering). Each of the
+    k selection steps is then one lane-min plus one knockout pass
+    (~2x fewer [TQ, N] sweeps than the exact kernel), and because
+    packed values are UNIQUE the equality knockout is exact and ties
+    break to the lowest index, matching top_k.
+
+    Cost: distances are compared with the low nb mantissa bits
+    truncated — selection can differ from the exact kernel only
+    between candidates within ~2^-nb relative distance of each other
+    at the k-th-neighbor boundary. Use for index-only consumers
+    (graph rings, grouping gathers), where near-tie membership swaps
+    are immaterial; returned distances are the truncated values.
+    """
+    q = q_ref[0]                                             # [TQ, C]
+    p = p_ref[0]                                             # [N, C]
+    qn = jnp.sum(q * q, axis=-1, keepdims=True)              # [TQ, 1]
+    C = q.shape[-1]
+    if C <= 4:
+        cross = q[:, 0:1] * p[:, 0][None, :]
+        for c in range(1, C):
+            cross += q[:, c:c + 1] * p[:, c][None, :]        # [TQ, N]
+    else:
+        cross = jax.lax.dot_general(
+            q, p, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+    d = jnp.maximum(qn - 2.0 * cross + pn_ref[0], 0.0)       # [TQ, N]
+
+    TQ, N = d.shape
+    k_pad = dist_ref.shape[-1]
+    col = lax.broadcasted_iota(jnp.int32, (TQ, N), 1)
+    if n_valid < N:                                          # padded cols
+        d = jnp.where(col < n_valid, d, _POS_INF)
+    mask = (1 << nb) - 1
+    bits = jax.lax.bitcast_convert_type(d, jnp.int32)
+    # inf = 0x7F800000; OR-ing the index keeps padded cols above every
+    # finite packed value (finite max after truncation is 0x7F7FFC00)
+    pk = jax.lax.bitwise_or(
+        jax.lax.bitwise_and(bits, jnp.int32(~mask)), col)
+    slot = lax.broadcasted_iota(jnp.int32, (TQ, k_pad), 1)
+    maxi = jnp.int32(0x7FFFFFFF)
+
+    def body(i, carry):
+        pk, out_d, out_i = carry
+        m = jnp.min(pk, axis=1)                              # [TQ] int32
+        out_i = jnp.where(slot == i,
+                          jax.lax.bitwise_and(m, mask)[:, None], out_i)
+        dv = jax.lax.bitcast_convert_type(
+            jax.lax.bitwise_and(m, jnp.int32(~mask)), jnp.float32)
+        out_d = jnp.where(slot == i, dv[:, None], out_d)
+        pk = jnp.where(pk == m[:, None], maxi, pk)           # knockout
+        return pk, out_d, out_i
+
+    _, out_d, out_i = lax.fori_loop(
+        0, k, body,
+        (pk, jnp.zeros((TQ, k_pad), jnp.float32),
+         jnp.zeros((TQ, k_pad), jnp.int32)))
+    dist_ref[0] = out_d
+    idx_ref[0] = out_i
+
+
 def knn_pallas(query: jnp.ndarray, points: jnp.ndarray, k: int,
-               tile_q: int = 256) -> Tuple[jnp.ndarray, jnp.ndarray]:
+               tile_q: int = 256,
+               packed: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused kNN: (sq dists [B, Nq, k], idx [B, Nq, k]), ascending.
 
     Exact (not approximate); ties broken by lowest index, matching
-    ``lax.top_k`` of the negative distance matrix.
+    ``lax.top_k`` of the negative distance matrix. With
+    ``packed=True`` the selection loop runs on dist|idx packed int32s
+    (~2x faster extraction; distances truncated by ceil(log2(N)) low
+    mantissa bits — see _knn_packed_kernel for when that is safe).
     """
     B, Nq, C = query.shape
     N = points.shape[1]
@@ -129,7 +199,12 @@ def knn_pallas(query: jnp.ndarray, points: jnp.ndarray, k: int,
     pnorm = jnp.sum(points * points, axis=-1)[:, None, :]    # [B, 1, Np]
 
     grid = (B, (Nq + pad_q) // tile_q)
-    kernel = functools.partial(_knn_kernel, k=k, n_valid=N)
+    if packed:
+        nb = max(1, (Np - 1).bit_length())
+        kernel = functools.partial(_knn_packed_kernel, k=k, n_valid=N,
+                                   nb=nb)
+    else:
+        kernel = functools.partial(_knn_kernel, k=k, n_valid=N)
     dists, idx = pl.pallas_call(
         kernel,
         grid=grid,
@@ -194,6 +269,14 @@ def fps_pallas_from_start(xyz: jnp.ndarray, npoint: int,
                           start: jnp.ndarray) -> jnp.ndarray:
     """FPS kernel taking explicit per-batch start indices ``[B]``."""
     B, N, _ = xyz.shape
+    if B == 1:
+        # Mosaic's layout inference dies (inferReshape check-fail) on
+        # the kernel's [1]/[1, N] intermediates when the whole-batch
+        # block has a single sublane — duplicate the row and keep the
+        # first result (probed on TPU: B=1 SIGABRTs, B=2 compiles).
+        xyz2 = jnp.concatenate([xyz, xyz], axis=0)
+        start2 = jnp.concatenate([start, start], axis=0)
+        return fps_pallas_from_start(xyz2, npoint, start2)[:1]
     start = jnp.pad(start.reshape(B, 1).astype(jnp.int32),
                     ((0, 0), (0, 127)))                      # lane-pad
 
@@ -262,12 +345,20 @@ def _gmp_fwd_kernel(y_ref, idx_ref, mx_ref, amax_ref, *, k: int):
 
     mx = jnp.full((T, C), _NEG_INF, jnp.float32)
     amax = jnp.zeros((T, C), jnp.int32)
+    # f32 operands MUST say HIGHEST: Mosaic's default rounds matmul
+    # inputs to bf16, so even a 0/1 one-hot gather corrupts the DATA
+    # operand (measured 2e-2 abs vs exact; HIGHEST measured exact AND
+    # 2.5x faster than the default lowering here). bf16 operands can't
+    # take f32 precision (Mosaic rejects it) and are 1-pass exact.
+    prec = (jax.lax.Precision.HIGHEST if y.dtype == jnp.float32
+            else None)
     # static unroll: idx[:, j] with a traced j would be a lane-dim
     # dynamic_slice, which Mosaic cannot lower
     for j in range(k):
         onehot = (row == idx[:, j][:, None]).astype(y.dtype)  # [T, Np]
         nb = jax.lax.dot_general(
             onehot, y, (((1,), (0,)), ((), ())),
+            precision=prec,
             preferred_element_type=jnp.float32)              # [T, C]
         better = nb > mx
         mx = jnp.where(better, nb, mx)
@@ -287,28 +378,39 @@ def _gmp_bwd_kernel(idx_ref, amax_ref, g_ref, out_ref, *, k: int):
 
     idx = idx_ref[0]                                         # [T, k_pad]
     amax = amax_ref[0]                                       # [T, C]
-    g = g_ref[0].astype(jnp.float32)                         # [T, C]
+    g = g_ref[0]                                             # [T, C]
     Np = out_ref.shape[1]
     T = idx.shape[0]
     rowT = lax.broadcasted_iota(jnp.int32, (Np, T), 0)
 
     # accumulate into the ref per slot — an SSA accumulator chain keeps
     # every unrolled [Np, C] partial alive and blows the 16M scoped
-    # VMEM limit at C=256
+    # VMEM limit at C=256. f32 gradients need HIGHEST (the default
+    # rounds the data operand to bf16 — see _gmp_fwd_kernel); bf16
+    # gradients are 1-pass exact and can't take f32 precision.
+    prec = (jax.lax.Precision.HIGHEST if g.dtype == jnp.float32
+            else None)
+    zero = jnp.zeros((), g.dtype)
     for j in range(k):
-        gj = jnp.where(amax == j, g, 0.0)                    # [T, C]
-        onehotT = (rowT == idx[:, j][None, :]).astype(jnp.float32)
+        gj = jnp.where(amax == j, g, zero)                   # [T, C]
+        onehotT = (rowT == idx[:, j][None, :]).astype(g.dtype)
         out_ref[0] += jax.lax.dot_general(
             onehotT, gj, (((1,), (0,)), ((), ())),
+            precision=prec,
             preferred_element_type=jnp.float32)              # [Np, C]
 
 
 def graph_max_pool_pallas(y: jnp.ndarray, idx: jnp.ndarray,
                           tile: int = 128):
-    """(mx [B, N, C] in y.dtype, amax [B, N, k-slot] int32)."""
+    """(mx [B, N, C] in y.dtype, amax [B, N, k-slot] int32).
+
+    bf16 inputs stay bf16 through the one-hot matmuls (the MXU's native
+    mode, ~4x the f32 throughput): one-hot rows have a single exact 1,
+    so the f32-accumulated product reproduces each gathered value
+    exactly in any dtype — no precision is lost vs the f32 cast."""
     B, N, C = y.shape
     k = idx.shape[-1]
-    yf = y.astype(jnp.float32)
+    yf = y if y.dtype == jnp.bfloat16 else y.astype(jnp.float32)
     pad_n = (-N) % tile
     if pad_n:
         yf = jnp.pad(yf, ((0, 0), (0, pad_n), (0, 0)))
@@ -345,10 +447,11 @@ def graph_max_pool_bwd_pallas(idx: jnp.ndarray, amax: jnp.ndarray,
                               g: jnp.ndarray, n_points: int,
                               tile: int = 128) -> jnp.ndarray:
     """grad wrt y: scatter-add of g at the argmax neighbors, as
-    one-hot^T matmuls accumulated across row tiles."""
+    one-hot^T matmuls accumulated across row tiles (bf16 stays bf16 —
+    see graph_max_pool_pallas; accumulation is f32 regardless)."""
     B, N, C = g.shape
     k = idx.shape[-1]
-    gf = g.astype(jnp.float32)
+    gf = g if g.dtype == jnp.bfloat16 else g.astype(jnp.float32)
     pad_n = (-N) % tile
     if pad_n:
         # padded rows carry zero gradient -> contribute nothing
@@ -383,6 +486,386 @@ def graph_max_pool_bwd_pallas(idx: jnp.ndarray, amax: jnp.ndarray,
     return out[:, :n_points].astype(g.dtype)
 
 
+# ---------------------------------------------------------------------------
+# Fused Gaussian-kernel blend (HiT-ADV deformation field)
+# ---------------------------------------------------------------------------
+#
+# num[b,n,c] = sum_j pert[b,j,c] * ker[b,j,n]
+# deno[b,n]  = sum_j ker[b,j,n]
+# ker        = exp(-|ori_n - central_j| / (2 delta_j^2))
+#
+# The XLA formulation (reference parity path in attacks/hit_adv.py,
+# `ShapeAttack/HiT_ADV.py:168-175,298-304`) materializes ker [B, Cn, N]
+# (50 MB at the flagship shape) through HBM in the forward AND keeps it
+# (plus d) as autodiff residuals for the backward. These kernels compute
+# ker tile-by-tile in VMEM and never write it out; the backward
+# recomputes the tiles flash-attention-style from the [B, Cn]-sized
+# inputs. Distances use the broadcast-subtract form, NOT the matmul
+# |a|^2+|b|^2-2ab form: central points coincide with cloud points and
+# the cancellation error near d=0 is amplified ~50x by exp at
+# delta=0.1 (see attacks/hit_adv.py measurement notes).
+
+
+def _gblend_fwd_kernel(cd_ref, ori_ref, pert4_ref, out_ref, *,
+                       cn_valid: int):
+    """One (batch, N-tile) program, tiles oriented [TN, Cnp] (cloud
+    points in sublanes, centers in lanes).
+
+    cd_ref: [1, Cnp, 4] packed (cx, cy, cz, delta); ori_ref: [1, TN, 3];
+    pert4_ref: [1, Cnp, 4] packed (px, py, pz, 1); out_ref:
+    [1, TN, 4] columns (num_x, num_y, num_z, deno).
+
+    Orientation rules learned the hard way on real Mosaic (interpret
+    mode checks none of this): axis-0 vector reductions don't lower
+    ("unsupported output implicit dimension"), and small/odd outputs
+    like [B, 4, N] get placed in VMEM (S(1)) by XLA inside scan bodies,
+    blowing the 16M scoped-vmem budget. With points-in-sublanes the
+    center contraction is one standard ker . pert4 MXU matmul and the
+    output is the proven [B, N, C] / (1, tile, C) pattern. HIGHEST
+    precision keeps f32 accuracy (default rounds operands to bf16).
+    """
+    cd = cd_ref[0]                                           # [Cnp, 4]
+    o = ori_ref[0]                                           # [TN, 3]
+    pert4 = pert4_ref[0]                                     # [Cnp, 4]
+    Cnp = cd.shape[0]
+
+    s = None
+    for c in range(3):
+        dc = o[:, c:c + 1] - cd[:, c][None, :]               # [TN, Cnp]
+        s = dc * dc if s is None else s + dc * dc
+    d = jnp.sqrt(s + 1e-24)
+    delta = cd[:, 3][None, :]                                # [1, Cnp]
+    ker = jnp.exp(-d / (2.0 * delta * delta))                # [TN, Cnp]
+    if cn_valid < Cnp:
+        col = lax.broadcasted_iota(jnp.int32, ker.shape, 1)
+        ker = jnp.where(col < cn_valid, ker, 0.0)
+
+    out_ref[0] = jax.lax.dot_general(
+        ker, pert4, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)                  # [TN, 4]
+
+
+def _gblend_bwd_kernel(cd_ref, ori_ref, pertt_ref, gn4_ref,
+                       go_ref, gcd_ref, *, cn_valid: int):
+    """Backward: recompute the ker tile, push cotangents to all inputs.
+
+    pertt_ref: [1, 3, Cnp] pert transposed (host-side); gn4_ref:
+    [1, TN, 4] packed (gnum_x, gnum_y, gnum_z, gdeno). go_ref:
+    [1, TN, 4] grad of ori in cols 0-2 (per-tile); gcd_ref: [1, 8, Cnp]
+    accumulated across tiles — rows 0-2 grad central, 3 grad delta,
+    4-6 grad pert.
+
+    Keeps the gs*diff PRODUCT form for both ori and central grads:
+    decomposing into o_c*sum(gs) - (cen^T gs)_c cancels catastrophically
+    where d ~ 0 (gs ~ 1/sqrt(1e-24) while diff = 0). Per-point sums are
+    native lane reductions; per-center sums are ones-row matmuls
+    (axis-0 reductions don't lower — see _gblend_fwd_kernel).
+    """
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        gcd_ref[0] = jnp.zeros_like(gcd_ref[0])
+
+    cd = cd_ref[0]                                           # [Cnp, 4]
+    o = ori_ref[0]                                           # [TN, 3]
+    pertt = pertt_ref[0]                                     # [3, Cnp]
+    gn4 = gn4_ref[0]                                         # [TN, 4]
+    Cnp = cd.shape[0]
+    TN = o.shape[0]
+    hi = jax.lax.Precision.HIGHEST
+
+    diffs = []
+    s = None
+    for c in range(3):
+        dc = o[:, c:c + 1] - cd[:, c][None, :]               # [TN, Cnp]
+        diffs.append(dc)
+        s = dc * dc if s is None else s + dc * dc
+    d = jnp.sqrt(s + 1e-24)
+    delta = cd[:, 3][None, :]                                # [1, Cnp]
+    inv2d2 = 1.0 / (2.0 * delta * delta)
+    ker = jnp.exp(-d * inv2d2)                               # [TN, Cnp]
+    if cn_valid < Cnp:
+        col = lax.broadcasted_iota(jnp.int32, ker.shape, 1)
+        ker = jnp.where(col < cn_valid, ker, 0.0)
+
+    # g_ker[n,j] = sum_c gnum[n,c] * pert[j,c] + gdeno[n]
+    gker = jax.lax.dot_general(
+        gn4[:, 0:3], pertt, (((1,), (0,)), ((), ())),
+        precision=hi, preferred_element_type=jnp.float32) \
+        + gn4[:, 3:4]                                        # [TN, Cnp]
+    gkk = gker * ker
+    gs = gkk * (-inv2d2) / (2.0 * d)                         # grad wrt s
+
+    ones_row = jnp.ones((1, TN), jnp.float32)
+    acc = jnp.zeros((8, Cnp), jnp.float32)
+    row8 = lax.broadcasted_iota(jnp.int32, (8, Cnp), 0)
+    go = jnp.zeros((TN, 4), jnp.float32)
+    col4 = lax.broadcasted_iota(jnp.int32, (TN, 4), 1)
+
+    def colsum(x):  # [TN, Cnp] -> [1, Cnp] via ones-row matmul
+        return jax.lax.dot_general(
+            ones_row, x, (((1,), (0,)), ((), ())),
+            precision=hi, preferred_element_type=jnp.float32)
+
+    for c in range(3):
+        gsd = gs * diffs[c]                                  # [TN, Cnp]
+        go = go + jnp.where(
+            col4 == c,
+            2.0 * jnp.sum(gsd, axis=1, keepdims=True), 0.0)
+        acc = acc + jnp.where(row8 == c, -2.0 * colsum(gsd), 0.0)
+        acc = acc + jnp.where(row8 == 4 + c,
+                              colsum(ker * gn4[:, c:c + 1]), 0.0)
+    dinv = 1.0 / delta                                       # [1, Cnp]
+    gdelta = colsum(gkk * d) * (dinv * dinv * dinv)
+    acc = acc + jnp.where(row8 == 3, gdelta, 0.0)
+    go_ref[0] = go
+    gcd_ref[0] += acc
+
+
+def _gblend_pad(central, ori, delta, pert, tile_n: int):
+    """Pad Cn to sublane multiple (delta pad 1.0 to keep 1/delta finite)
+    and N to the tile size; returns padded operands + sizes."""
+    B, Cn, _ = central.shape
+    N = ori.shape[1]
+    cn_pad = (-Cn) % 8
+    if cn_pad:
+        central = jnp.pad(central, ((0, 0), (0, cn_pad), (0, 0)))
+        pert = jnp.pad(pert, ((0, 0), (0, cn_pad), (0, 0)))
+        delta = jnp.pad(delta, ((0, 0), (0, cn_pad)),
+                        constant_values=1.0)
+    n_pad = (-N) % tile_n
+    if n_pad:
+        ori = jnp.pad(ori, ((0, 0), (0, n_pad), (0, 0)))
+    cd = jnp.concatenate([central, delta[..., None]], axis=-1)
+    return cd, ori, pert, Cn + cn_pad, N + n_pad
+
+
+def gaussian_blend_pallas(central: jnp.ndarray, ori: jnp.ndarray,
+                          delta: jnp.ndarray, pert: jnp.ndarray,
+                          tile_n: int = 512
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused forward: (num [B, N, 3], deno [B, N]), all f32."""
+    B, Cn, _ = central.shape
+    N = ori.shape[1]
+    tile_n = min(tile_n, max(128, -(-N // 128) * 128))
+    f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
+    cd, orip, pertp, Cnp, Np = _gblend_pad(
+        f32(central), f32(ori), f32(delta), f32(pert), tile_n)
+
+    grid = (B, Np // tile_n)
+    pert4 = jnp.concatenate(
+        [pertp, jnp.ones(pertp.shape[:2] + (1,), jnp.float32)], axis=-1)
+    out = pl.pallas_call(
+        functools.partial(_gblend_fwd_kernel, cn_valid=Cn),
+        grid=grid,
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        in_specs=[
+            pl.BlockSpec((1, Cnp, 4), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((1, tile_n, 3), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, Cnp, 4), lambda b, t: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile_n, 4), lambda b, t: (b, t, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Np, 4), jnp.float32),
+    )(cd, orip, pert4)
+    return out[:, :N, 0:3], out[:, :N, 3]
+
+
+def gaussian_blend_bwd_pallas(central: jnp.ndarray, ori: jnp.ndarray,
+                              delta: jnp.ndarray, pert: jnp.ndarray,
+                              g_num: jnp.ndarray, g_deno: jnp.ndarray,
+                              tile_n: int = 512):
+    """Grads wrt (central, ori, delta, pert) by tile recompute."""
+    B, Cn, _ = central.shape
+    N = ori.shape[1]
+    tile_n = min(tile_n, max(128, -(-N // 128) * 128))
+    f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
+    cd, orip, pertp, Cnp, Np = _gblend_pad(
+        f32(central), f32(ori), f32(delta), f32(pert), tile_n)
+    gn = f32(g_num)
+    gd = f32(g_deno)
+    n_pad = Np - N
+    if n_pad:  # zero cotangents on padded columns contribute nothing
+        gn = jnp.pad(gn, ((0, 0), (0, n_pad), (0, 0)))
+        gd = jnp.pad(gd, ((0, 0), (0, n_pad)))
+    gn4 = jnp.concatenate([gn, gd[..., None]], axis=-1)      # [B, Np, 4]
+    pertt = jnp.swapaxes(pertp, 1, 2)                        # [B, 3, Cnp]
+
+    grid = (B, Np // tile_n)
+    go, gcd = pl.pallas_call(
+        functools.partial(_gblend_bwd_kernel, cn_valid=Cn),
+        grid=grid,
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        in_specs=[
+            pl.BlockSpec((1, Cnp, 4), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((1, tile_n, 3), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, 3, Cnp), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((1, tile_n, 4), lambda b, t: (b, t, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_n, 4), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, 8, Cnp), lambda b, t: (b, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Np, 4), jnp.float32),
+            jax.ShapeDtypeStruct((B, 8, Cnp), jnp.float32),
+        ],
+    )(cd, orip, pertt, gn4)
+    g_ori = go[:, :N, 0:3]
+    g_central = jnp.swapaxes(gcd[:, 0:3, :Cn], 1, 2)         # [B, Cn, 3]
+    g_delta = gcd[:, 3, :Cn]
+    g_pert = jnp.swapaxes(gcd[:, 4:7, :Cn], 1, 2)
+    return g_central, g_ori, g_delta, g_pert
+
+
+# ---------------------------------------------------------------------------
+# Fused KDE density (PointConv)
+# ---------------------------------------------------------------------------
+#
+# density_i = mean_j exp(-|x_i - x_j|^2 / (2 bw^2)) / (2.5 bw)
+# (`util/pointconv_util.py:209-219`). The XLA path materializes the
+# [B, N, N] squared-distance matrix AND keeps the [B, N, N] Gaussian as
+# an autodiff residual; PointConv recomputes density at every attack
+# iteration (the cloud moves), making this the single hottest op of the
+# PointConv victim. These kernels keep everything in VMEM: forward
+# reads [B, N, 3], writes [B, N]; backward recomputes the Gaussian tile
+# and contracts it against the cotangent in one pass (w is symmetric:
+# g_p = c * [x_p (g_p r_p + (Wg)_p) - (g_p (WX)_p + (W(gX))_p)]).
+
+
+def _kde_fwd_kernel(xr_ref, xa_ref, out_ref, *, n_valid: int,
+                    inv2bw2: float, scale: float):
+    """Tiles are [TR, Np] (query tile in sublanes, all points in lanes)
+    so the density reduction is a native lane reduce; the output is the
+    proven [B, N, C] / (1, tile, C) pattern (see _gblend_fwd_kernel
+    orientation notes).
+
+    xr_ref: [1, TR, 3] query tile; xa_ref: [1, Np, 3] all points;
+    out_ref: [1, TR, 8] with density in column 0.
+    """
+    xr = xr_ref[0]                                           # [TR, 3]
+    xa = xa_ref[0]                                           # [Np, 3]
+    TR = xr.shape[0]
+    s = None
+    for c in range(3):
+        dc = xr[:, c:c + 1] - xa[:, c][None, :]              # [TR, Np]
+        s = dc * dc if s is None else s + dc * dc
+    w = jnp.exp(-s * inv2bw2)
+    if n_valid < xa.shape[0]:
+        col = lax.broadcasted_iota(jnp.int32, w.shape, 1)
+        w = jnp.where(col < n_valid, w, 0.0)
+    dens = jnp.sum(w, axis=1, keepdims=True) * scale         # [TR, 1]
+    col8 = lax.broadcasted_iota(jnp.int32, (TR, 8), 1)
+    out_ref[0] = jnp.where(col8 == 0, dens, 0.0)
+
+
+def _kde_bwd_kernel(xgr_ref, xga_ref, out_ref, *, n_valid: int,
+                    inv2bw2: float, scale: float):
+    """Inputs packed (x, y, z, g); out_ref: [1, TR, 4] with the
+    coordinate gradients in columns 0-2.
+
+    g_p = c0 * [x_p (g_p r_p + (Wg)_p) - (g_p (WX)_p + (W(gX))_p)],
+    c0 = -2 * scale * inv2bw2, using the symmetry of W. With queries in
+    sublanes every contraction is a native lane reduce.
+    """
+    xgr = xgr_ref[0]                                         # [TR, 4]
+    xga = xga_ref[0]                                         # [Np, 4]
+    TR = xgr.shape[0]
+    s = None
+    for c in range(3):
+        dc = xgr[:, c:c + 1] - xga[:, c][None, :]            # [TR, Np]
+        s = dc * dc if s is None else s + dc * dc
+    w = jnp.exp(-s * inv2bw2)
+    if n_valid < xga.shape[0]:
+        col = lax.broadcasted_iota(jnp.int32, w.shape, 1)
+        w = jnp.where(col < n_valid, w, 0.0)
+
+    ga = xga[:, 3][None, :]                                  # [1, Np]
+    gr = xgr[:, 3:4]                                         # [TR, 1]
+    r = jnp.sum(w, axis=1, keepdims=True)                    # [TR, 1]
+    wg = jnp.sum(w * ga, axis=1, keepdims=True)              # [TR, 1]
+    c0 = -2.0 * scale * inv2bw2
+    out = jnp.zeros((TR, 4), jnp.float32)
+    col4 = lax.broadcasted_iota(jnp.int32, (TR, 4), 1)
+    for c in range(3):
+        xac = xga[:, c][None, :]                             # [1, Np]
+        wx = jnp.sum(w * xac, axis=1, keepdims=True)         # [TR, 1]
+        wgx = jnp.sum(w * ga * xac, axis=1, keepdims=True)   # [TR, 1]
+        gc = c0 * (xgr[:, c:c + 1] * (gr * r + wg)
+                   - (gr * wx + wgx))                        # [TR, 1]
+        out = out + jnp.where(col4 == c, gc, 0.0)
+    out_ref[0] = out
+
+
+def kde_density_pallas(xyz: jnp.ndarray, bandwidth: float,
+                       tile_r: int = 256) -> jnp.ndarray:
+    """Fused KDE density: [B, N, 3] -> [B, N], f32."""
+    B, N, _ = xyz.shape
+    tile_r = min(tile_r, max(128, -(-N // 128) * 128))
+    xf = xyz.astype(jnp.float32)
+    pad = (-N) % tile_r
+    if pad:
+        xf = jnp.pad(xf, ((0, 0), (0, pad), (0, 0)))
+    Np = N + pad
+    kernel = functools.partial(
+        _kde_fwd_kernel, n_valid=N,
+        inv2bw2=1.0 / (2.0 * bandwidth * bandwidth),
+        scale=1.0 / (N * 2.5 * bandwidth))
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, Np // tile_r),
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        in_specs=[
+            pl.BlockSpec((1, tile_r, 3), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, Np, 3), lambda b, t: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile_r, 8), lambda b, t: (b, t, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Np, 8), jnp.float32),
+    )(xf, xf)
+    return out[:, :N, 0]
+
+
+def kde_density_bwd_pallas(xyz: jnp.ndarray, bandwidth: float,
+                           g: jnp.ndarray,
+                           tile_r: int = 256) -> jnp.ndarray:
+    """Grad of kde_density wrt xyz, one recompute pass. [B, N, 3]."""
+    B, N, _ = xyz.shape
+    tile_r = min(tile_r, max(128, -(-N // 128) * 128))
+    xf = xyz.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    pad = (-N) % tile_r
+    if pad:  # zero cotangents on padded queries; padded rows masked
+        xf = jnp.pad(xf, ((0, 0), (0, pad), (0, 0)))
+        gf = jnp.pad(gf, ((0, 0), (0, pad)))
+    Np = N + pad
+    xg = jnp.concatenate([xf, gf[..., None]], axis=-1)       # [B, Np, 4]
+    kernel = functools.partial(
+        _kde_bwd_kernel, n_valid=N,
+        inv2bw2=1.0 / (2.0 * bandwidth * bandwidth),
+        scale=1.0 / (N * 2.5 * bandwidth))
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, Np // tile_r),
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        in_specs=[
+            pl.BlockSpec((1, tile_r, 4), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, Np, 4), lambda b, t: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile_r, 4), lambda b, t: (b, t, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Np, 4), jnp.float32),
+    )(xg, xg)
+    return out[:, :N, 0:3]
+
+
 def _scatter_add_rows_kernel(idx_ref, g_ref, out_ref, *, k: int):
     """out[m, c] += sum over rows n in this tile with idx[n, j] == m of
     g[n, j*Cchunk...]: the gather-VJP scatter-add as one-hot^T matmuls.
@@ -399,14 +882,22 @@ def _scatter_add_rows_kernel(idx_ref, g_ref, out_ref, *, k: int):
         out_ref[0] = jnp.zeros_like(out_ref[0])
 
     idx = idx_ref[0]
-    g = g_ref[0].astype(jnp.float32)                         # [T, C]
+    g = g_ref[0]                                             # [T, C]
     Np = out_ref.shape[1]
     T = idx.shape[0]
     rowT = lax.broadcasted_iota(jnp.int32, (Np, T), 0)
+    # f32 gradients need HIGHEST: Mosaic's default rounds the data
+    # operand to bf16 (measured 2e-2 abs error on the kNN VJP). bf16
+    # gradients are 1-pass exact and MUST stay bf16 — force-casting
+    # them to f32 + HIGHEST cost pointnet++/pct/pointconv 2-6 ms/iter
+    # in the bf16 attack profile for zero accuracy gain.
+    prec = (jax.lax.Precision.HIGHEST if g.dtype == jnp.float32
+            else None)
     for j in range(k):
-        onehotT = (rowT == idx[:, j][None, :]).astype(jnp.float32)
+        onehotT = (rowT == idx[:, j][None, :]).astype(g.dtype)
         out_ref[0] += jax.lax.dot_general(
             onehotT, g, (((1,), (0,)), ((), ())),
+            precision=prec,
             preferred_element_type=jnp.float32)
 
 
@@ -422,7 +913,7 @@ def scatter_add_rows_pallas(idx: jnp.ndarray, g: jnp.ndarray,
     """
     B, M = idx.shape
     C = g.shape[-1]
-    gf = g.astype(jnp.float32)
+    gf = g if g.dtype == jnp.bfloat16 else g.astype(jnp.float32)
     pad_m = (-M) % tile
     if pad_m:
         gf = jnp.pad(gf, ((0, 0), (0, pad_m), (0, 0)))

@@ -1,0 +1,86 @@
+"""Per-op device-time breakdown of one attack iteration per victim.
+
+Captures an XLA profiler trace of a short HiT-ADV run against the given
+victims, converts the .xplane.pb via xprof's op_profile tool, and
+prints the top ops by self device time — ground truth for where the
+per-iteration milliseconds actually go (RESULTS.md's earlier component
+attributions were estimates).
+
+Usage: python scripts/profile_victims.py [victim ...]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _top_ops(trace_dir: str, top: int = 18):
+    from xprof.convert import raw_to_tool_data as r2t
+
+    xplanes = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                        recursive=True)
+    if not xplanes:
+        print("  no xplane found under", trace_dir)
+        return
+    data, _ = r2t.xspace_to_tool_data([sorted(xplanes)[-1]],
+                                      "hlo_stats", {})
+    tab = json.loads(data.decode() if isinstance(data, bytes) else data)
+    cols = [c["id"] for c in tab["cols"]]
+    rows = [[c.get("v") for c in r["c"]] for r in tab["rows"]]
+
+    def g(r, k):
+        return r[cols.index(k)]
+
+    rows.sort(key=lambda r: -(g(r, "total_self_time") or 0))
+    total = sum(g(r, "total_self_time") or 0 for r in rows)
+    print(f"  total device self time {total / 1e3:.1f} ms")
+    for r in rows[:top]:
+        t = g(r, "total_self_time") or 0
+        print(f"  {t:9.0f}us {str(g(r, 'category'))[:22]:22s} "
+              f"x{g(r, 'occurrences'):5} "
+              f"{str(g(r, 'bound_by'))[:10]:10s} "
+              f"{str(g(r, 'hlo_op_name'))[:55]}")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from hitadv_tpu import models
+    from hitadv_tpu.attacks import base, hit_adv
+    from hitadv_tpu.data import synthetic_clouds
+    from hitadv_tpu.nn import functional as nnF
+
+    victims = sys.argv[1:] or ["dgcnn", "pointconv"]
+    nnF.set_compute_dtype(jnp.bfloat16)
+    B, N = 16, 1024
+    cfg = hit_adv.HiTADVConfig(binary_step=1, num_iter=25)
+    adv_fn = base.make_adv_fn("logits", kappa=30.0, targeted=False)
+    pts, labels = synthetic_clouds(B, num_points=N, seed=0)
+    pts, labels = jnp.asarray(pts), jnp.asarray(labels)
+
+    for name in victims:
+        init, apply = models.get_model(name)
+        params = init(jax.random.PRNGKey(0))
+        attack = hit_adv.make_hit_adv(
+            lambda x: apply(params, x), adv_fn, cfg)  # noqa: B023
+        res = attack(pts, labels, jax.random.PRNGKey(0))   # compile
+        np.asarray(res.adv_points)
+        out = f"/tmp/prof_{name}"
+        with jax.profiler.trace(out):
+            res = attack(pts, labels, jax.random.PRNGKey(1))
+            np.asarray(res.adv_points)
+        print(f"== {name} (25-iter HiT-ADV, B={B}, bf16) ==", flush=True)
+        _top_ops(out)
+
+
+if __name__ == "__main__":
+    main()

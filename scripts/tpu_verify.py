@@ -1,0 +1,152 @@
+"""End-to-end TPU numerics verification of the Pallas kernel layer.
+
+Drives the public API on the real chip and compares the "pallas"
+backend against the "xla" backend for values AND gradients; isolates
+the scatter/kNN backward kernels with identical indices so boundary
+tie-swaps can't mask kernel bugs. This catches the class of failure
+the CPU suite (interpreter mode) cannot: Mosaic compile behavior —
+e.g. the default-precision bf16 rounding of f32 one-hot matmul
+operands (2e-2 grad error, fixed with precision=HIGHEST) and the
+B=1 FPS layout-inference crash, both found by exactly this script.
+
+Usage: python -u scripts/tpu_verify.py   (run as a background task;
+first compile of the attack checks takes minutes).
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import hitadv_tpu.ops as ops
+from hitadv_tpu.ops import geometry as G
+from hitadv_tpu.ops import pallas_kernels as PK
+from hitadv_tpu.ops import set_backend
+
+ok = True
+
+
+def check(name, cond, detail=""):
+    global ok
+    print(("PASS " if cond else "FAIL ") + name
+          + (" " + detail if detail else ""), flush=True)
+    ok = ok and cond
+
+
+def main():
+    global ok
+    rng = np.random.default_rng(0)
+    print("devices:", jax.devices(), flush=True)
+
+    # ---- scatter_add_rows vs .at[].add with IDENTICAL idx ----
+    B, M, N, C = 4, 4096, 1024, 3
+    idx = jnp.asarray(rng.integers(0, N, size=(B, M)), jnp.int32)
+    contrib = jnp.asarray(rng.normal(size=(B, M, C)), jnp.float32)
+    gp_p = np.asarray(jax.jit(
+        lambda i, c: PK.scatter_add_rows_pallas(i, c, N))(idx, contrib))
+    gp_x = np.asarray(jax.jit(lambda i, c: jax.vmap(
+        lambda ii, cc: jnp.zeros((N, C), jnp.float32).at[ii].add(cc)
+    )(i, c))(idx, contrib))
+    d = np.max(np.abs(gp_p - gp_x))
+    check("scatter_add_rows identical-idx f32", d < 1e-4, f"max={d:.2e}")
+
+    # ---- kNN fwd + bwd vs the XLA backend, incl. non-128-multiple N ----
+    for n in (1024, 777):
+        q = jnp.asarray(rng.normal(size=(4, 256, 3)), jnp.float32)
+        p = jnp.asarray(rng.normal(size=(4, n, 3)), jnp.float32)
+
+        def loss(q, p):
+            r = ops.knn_points(q, p, 16)
+            return jnp.sum(jnp.sin(r.dists))
+
+        outs = {}
+        for be in ("pallas", "xla"):
+            set_backend(be)
+            v, gs = jax.jit(jax.value_and_grad(loss, (0, 1)))(q, p)
+            outs[be] = (np.asarray(v), *map(np.asarray, gs))
+        set_backend("auto")
+        dv = abs(outs["pallas"][0] - outs["xla"][0])
+        dgq = np.max(np.abs(outs["pallas"][1] - outs["xla"][1]))
+        dgp = np.max(np.abs(outs["pallas"][2] - outs["xla"][2]))
+        check(f"knn fwd+bwd N={n}", dv < 1e-3 and dgq < 1e-3
+              and dgp < 1e-3, f"dv={dv:.1e} dgq={dgq:.1e} dgp={dgp:.1e}")
+
+    # ---- DGCNN f32: full grad must match the XLA backend closely ----
+    from hitadv_tpu.models import dgcnn
+    params = dgcnn.init(jax.random.PRNGKey(0), num_classes=40)
+    x = jnp.asarray(rng.normal(size=(2, 512, 3)), jnp.float32)
+
+    def dg_loss(x):
+        return jnp.sum(dgcnn.apply(params, x) ** 2)
+
+    res = {}
+    for be in ("pallas", "xla"):
+        set_backend(be)
+        v, g = jax.jit(jax.value_and_grad(dg_loss))(x)
+        res[be] = (float(v), np.asarray(g))
+    set_backend("auto")
+    rel = abs(res["pallas"][0] - res["xla"][0]) / (abs(res["xla"][0]) + 1e-9)
+    gd = (np.max(np.abs(res["pallas"][1] - res["xla"][1]))
+          / (np.max(np.abs(res["xla"][1])) + 1e-9))
+    check("dgcnn f32 fwd+bwd vs xla backend", rel < 1e-4 and gd < 1e-3,
+          f"rel={rel:.1e} graddiff={gd:.1e}")
+
+    # ---- PointConv (kde + FPS), incl. the B=1 degenerate cloud ----
+    from hitadv_tpu.models import pointconv
+    pcp = pointconv.init(jax.random.PRNGKey(1), num_classes=40)
+    for tag, xin in (("B2 N700", rng.normal(size=(2, 700, 3))),
+                     ("B1 zeros", np.zeros((1, 512, 3)))):
+        xin = jnp.asarray(xin, jnp.float32)
+
+        def pc_loss(x):
+            return jnp.sum(pointconv.apply(pcp, x) ** 2)
+
+        vals = {}
+        for be in ("pallas", "xla"):
+            set_backend(be)
+            v, g = jax.jit(jax.value_and_grad(pc_loss))(xin)
+            vals[be] = (float(v), np.asarray(g))
+        set_backend("auto")
+        rel = (abs(vals["pallas"][0] - vals["xla"][0])
+               / (abs(vals["xla"][0]) + 1e-9))
+        gd = (np.max(np.abs(vals["pallas"][1] - vals["xla"][1]))
+              / (np.max(np.abs(vals["xla"][1])) + 1e-9))
+        fin = bool(np.isfinite(vals["pallas"][1]).all())
+        check(f"pointconv {tag}", rel < 5e-3 and gd < 5e-2 and fin,
+              f"rel={rel:.1e} graddiff={gd:.1e} finite={fin}")
+
+    # ---- HiT-ADV end-to-end (gaussian_blend) at B=1 and B=4 ----
+    from hitadv_tpu.attacks import base
+    from hitadv_tpu.attacks.hit_adv import HiTADVConfig, make_hit_adv
+    from hitadv_tpu.models import pointnet
+    pnp = pointnet.init(jax.random.PRNGKey(2), num_classes=40)
+    logits_fn = lambda x: pointnet.apply(pnp, x)                # noqa: E731
+    atk = make_hit_adv(logits_fn, base.make_adv_fn("logits", 30.0, False),
+                       HiTADVConfig(binary_step=2, num_iter=10))
+    for b in (1, 4):
+        xyz = rng.normal(size=(b, 1024, 3))
+        xyz /= np.max(np.linalg.norm(xyz, axis=-1, keepdims=True),
+                      axis=1, keepdims=True)
+        nrm = rng.normal(size=(b, 1024, 3))
+        nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True) + 1e-9
+        x6 = jnp.asarray(np.concatenate([xyz, nrm], -1), jnp.float32)
+        y = jnp.argmax(logits_fn(x6[..., :3]), -1)
+        out = jax.jit(atk)(x6, y, jax.random.PRNGKey(3))
+        adv = np.asarray(out.adv_points)
+        moved = float(np.max(np.abs(adv - xyz)))
+        check(f"hit_adv B={b}", bool(np.isfinite(adv).all())
+              and adv.shape == xyz.shape and moved > 1e-5,
+              f"max|adv-x|={moved:.4f}")
+
+    print("ALL OK" if ok else "FAILURES PRESENT", flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,5 +1,7 @@
 """Pallas kernel parity tests (interpreter mode on the CPU mesh)."""
 
+
+import functools
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -287,3 +289,202 @@ class TestPopulationWithHiTADV:
                   jax.random.PRNGKey(0))
         assert res.adv_points.shape == (2, 64, 3)
         assert np.isfinite(np.asarray(res.adv_points)).all()
+
+
+class TestGaussianBlend:
+    """Fused HiT-ADV deformation field vs the XLA parity path."""
+
+    def _inputs(self, rng, B=2, Cn=12, N=200):
+        ori = rng.randn(B, N, 3).astype(np.float32)
+        # centers coincide with cloud points (the real HiT-ADV setup) to
+        # exercise the d ~ 0 / sqrt(1e-24) corner
+        sel = rng.randint(0, N, size=(B, Cn))
+        central = np.stack([ori[b, sel[b]] for b in range(B)])
+        delta = (0.1 + rng.rand(B, Cn) * 1.1).astype(np.float32)
+        pert = (rng.randn(B, Cn, 3) * 0.1).astype(np.float32)
+        return (jnp.array(central), jnp.array(ori), jnp.array(delta),
+                jnp.array(pert))
+
+    @pytest.mark.parametrize("B,Cn,N", [(2, 12, 200), (1, 192, 512),
+                                        (3, 8, 100)])
+    def test_fwd_matches_xla(self, rng, B, Cn, N):
+        args = self._inputs(rng, B, Cn, N)
+        want_num, want_deno = G._gaussian_blend_xla(*args)
+        num, deno = PK.gaussian_blend_pallas(*args)
+        np.testing.assert_allclose(np.asarray(num), np.asarray(want_num),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(deno),
+                                   np.asarray(want_deno),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_grads_match_xla_all_args(self, rng):
+        args = self._inputs(rng, B=2, Cn=12, N=130)
+        w_num = jnp.array(rng.randn(2, 130, 3).astype(np.float32))
+        w_deno = jnp.array(rng.randn(2, 130).astype(np.float32))
+
+        def loss(fn, central, ori, delta, pert):
+            num, deno = fn(central, ori, delta, pert)
+            return jnp.sum(num * w_num) + jnp.sum(deno * w_deno)
+
+        grads = {}
+        for backend, fn in (("xla", G.gaussian_blend),
+                            ("pallas", G.gaussian_blend_fused)):
+            G.set_backend(backend)
+            try:
+                grads[backend] = jax.grad(
+                    functools.partial(loss, fn), argnums=(0, 1, 2, 3))(
+                        *args)
+            finally:
+                G.set_backend("auto")
+        for g_x, g_p, name in zip(grads["xla"], grads["pallas"],
+                                  ("central", "ori", "delta", "pert")):
+            np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
+                                       rtol=1e-4, atol=1e-5,
+                                       err_msg=name)
+
+    def test_hit_adv_trajectory_invariant_across_backends(self, rng):
+        from hitadv_tpu.attacks import base, hit_adv
+        from hitadv_tpu.data import synthetic_clouds
+        from hitadv_tpu.models import pointnet
+
+        pts, labels = synthetic_clouds(2, num_points=128, seed=61)
+        params = pointnet.init(jax.random.PRNGKey(0))
+        cfg = hit_adv.HiTADVConfig(binary_step=2, num_iter=4,
+                                   central_num=16, total_central_num=32,
+                                   curv_loss_knn=4)
+        out = {}
+        for backend in ("xla", "pallas"):
+            G.set_backend(backend)
+            try:
+                attack = hit_adv.make_hit_adv(
+                    lambda x: pointnet.apply(params, x),
+                    base.make_adv_fn("logits", 30.0, False), cfg)
+                out[backend] = attack(jnp.array(pts), jnp.array(labels),
+                                      jax.random.PRNGKey(3))
+            finally:
+                G.set_backend("auto")
+        np.testing.assert_allclose(np.asarray(out["xla"].adv_points),
+                                   np.asarray(out["pallas"].adv_points),
+                                   rtol=1e-4, atol=2e-5)
+
+
+class TestKDEDensity:
+    """Fused PointConv KDE vs the XLA parity path."""
+
+    @pytest.mark.parametrize("B,N,bw", [(2, 200, 0.1), (1, 512, 0.2),
+                                        (3, 100, 0.4)])
+    def test_fwd_matches_xla(self, rng, B, N, bw):
+        xyz = jnp.array(rng.randn(B, N, 3).astype(np.float32))
+        want = G._kde_density_xla(xyz, bw)
+        got = PK.kde_density_pallas(xyz, bw)
+        # the XLA path's matmul-form distances lose ~1e-6 absolute to
+        # cancellation near d=0; the kernel's subtract form is exact
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=1e-5)
+
+    def test_grad_matches_xla(self, rng):
+        xyz = jnp.array(rng.randn(2, 130, 3).astype(np.float32))
+        w = jnp.array(rng.randn(2, 130).astype(np.float32))
+
+        def loss(x, backend):
+            G.set_backend(backend)
+            try:
+                return jnp.sum(G.kde_density(x, 0.15) * w)
+            finally:
+                G.set_backend("auto")
+
+        g_x = jax.grad(lambda x: loss(x, "xla"))(xyz)
+        g_p = jax.grad(lambda x: loss(x, "pallas"))(xyz)
+        np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_pointconv_forward_invariant_across_backends(self, rng):
+        from hitadv_tpu.models import pointconv
+
+        params = pointconv.init(jax.random.PRNGKey(0), num_classes=10)
+        x = jnp.array(rng.randn(2, 256, 3).astype(np.float32) * 0.5)
+        out = {}
+        for backend in ("xla", "pallas"):
+            G.set_backend(backend)
+            try:
+                out[backend] = np.asarray(pointconv.apply(params, x))
+            finally:
+                G.set_backend("auto")
+        np.testing.assert_allclose(out["pallas"], out["xla"],
+                                   rtol=1e-4, atol=1e-4)
+
+
+class TestPackedKNN:
+    """Index-only packed single-reduction kernel vs the exact path."""
+
+    @pytest.mark.parametrize("B,Nq,N,k,C", [(2, 64, 64, 5, 3),
+                                            (1, 100, 200, 9, 3),
+                                            (2, 128, 128, 20, 64)])
+    def test_idx_matches_xla(self, rng, B, Nq, N, k, C):
+        # scale up so squared-distance gaps exceed the 2^-ceil(log2(N))
+        # truncation everywhere (random normals in 3-64 dims are far
+        # from ties at this scale)
+        q = jnp.array(rng.randn(B, Nq, C).astype(np.float32) * 2)
+        p = jnp.array(rng.randn(B, N, C).astype(np.float32) * 2)
+        want = G._knn_xla(q, p, k).idx
+        _, got = PK.knn_pallas(q, p, k, tile_q=32, packed=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_self_query_first_neighbor(self, rng):
+        x = jnp.array(rng.randn(2, 96, 3).astype(np.float32))
+        _, i = PK.knn_pallas(x, x, 8, packed=True)
+        self_idx = np.arange(96)[None, :]
+        np.testing.assert_array_equal(np.asarray(i[..., 0]),
+                                      np.broadcast_to(self_idx, (2, 96)))
+
+    def test_duplicate_points_tie_break_lowest_index(self):
+        # three identical points: packed uniqueness must break ties by
+        # ascending index, like lax.top_k of the negated distances
+        x = np.zeros((1, 8, 3), np.float32)
+        x[0, 3:] = np.arange(5 * 3).reshape(5, 3)
+        _, i = PK.knn_pallas(jnp.array(x), jnp.array(x), 4, packed=True)
+        np.testing.assert_array_equal(np.asarray(i[0, 0]), [0, 1, 2, 3])
+
+    def test_knn_idx_dispatch(self, rng):
+        x = jnp.array(rng.randn(1, 64, 3).astype(np.float32) * 2)
+        want = np.asarray(G._knn_xla(x, x, 6).idx)
+        for backend in ("xla", "pallas"):
+            G.set_backend(backend)
+            try:
+                got = np.asarray(G.knn_idx(x, x, 6))
+            finally:
+                G.set_backend("auto")
+            np.testing.assert_array_equal(got, want, err_msg=backend)
+
+    def test_knn_idx_f32_features_take_exact_kernel(self, rng):
+        """Policy: f32 FEATURE-space knn_idx must be exact. Points are
+        crafted with squared-distance gaps below the packed kernel's
+        2^-ceil(log2(N)) truncation — packed dispatch would misorder
+        them; the auto policy (exact kernel at C > 4 f32) must not.
+        Measured on TPU: packed in DGCNN's feature kNN perturbed 2.5%
+        of grad entries; the exact kernel reproduces XLA bitwise."""
+        C, N = 64, 128
+        base = rng.randn(1, 1, C).astype(np.float32)
+        # neighbors at distance ~1 with squared-distance gaps of a few
+        # f32 ULPs — far below the packed kernel's 7-bit mantissa
+        # truncation quantum (2^-16 relative at N=128), so packing
+        # quantizes them equal and tie-breaks by INDEX; the radii are
+        # shuffled so index order differs from true distance order
+        radii = 1.0 + rng.permutation(N) * 4e-7
+        dirs = rng.randn(1, N, C).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        p = jnp.array(base + radii[None, :, None] * dirs)
+        q = jnp.array(base)
+        exact_idx = np.asarray(
+            PK.knn_pallas(q, p, 8, packed=False)[1])
+        packed_idx = np.asarray(
+            PK.knn_pallas(q, p, 8, packed=True)[1])
+        assert not np.array_equal(packed_idx, exact_idx), \
+            "tie-rich fixture no longer exercises the truncation"
+        G.set_backend("pallas")
+        try:
+            got = np.asarray(G.knn_idx(q, p, 8))
+        finally:
+            G.set_backend("auto")
+        # the policy must have picked the exact kernel, not packed
+        np.testing.assert_array_equal(got, exact_idx)

@@ -173,3 +173,28 @@ class TestShardedPallasPaths:
             G.set_backend("auto")
         assert adv.shape == (16, 192, 3)
         assert np.isfinite(adv).all()
+
+    def test_ifgsm_on_pointconv_sharded_pallas(self, mesh):
+        """KDE density (fused Pallas) under shard_map: the PointConv
+        victim recomputes kde_density inside the differentiated attack
+        loop on every device shard."""
+        from hitadv_tpu import models
+        from hitadv_tpu.ops import geometry as G
+
+        init, apply = models.get_model("pointconv")
+        params = init(jax.random.PRNGKey(0))
+        attack = fgm.make_ifgsm(
+            lambda x: apply(params, x),
+            base.make_adv_fn("cross_entropy"),
+            fgm.FGMConfig(budget=0.1, num_iter=2))
+        pts, labels = synthetic_clouds(16, num_points=192, seed=1)
+        G.set_backend("pallas")
+        try:
+            res = shard_attack(attack, mesh)(
+                jnp.asarray(pts)[..., :3], jnp.asarray(labels),
+                jax.random.PRNGKey(0))
+            adv = np.asarray(res.adv_points)
+        finally:
+            G.set_backend("auto")
+        assert adv.shape == (16, 192, 3)
+        assert np.isfinite(adv).all()
