@@ -886,19 +886,28 @@ def _scatter_add_rows_kernel(idx_ref, g_ref, out_ref, *, k: int):
     Np = out_ref.shape[1]
     T = idx.shape[0]
     rowT = lax.broadcasted_iota(jnp.int32, (Np, T), 0)
-    # f32 gradients need HIGHEST: Mosaic's default rounds the data
-    # operand to bf16 (measured 2e-2 abs error on the kNN VJP). bf16
-    # gradients are 1-pass exact and MUST stay bf16 — force-casting
-    # them to f32 + HIGHEST cost pointnet++/pct/pointconv 2-6 ms/iter
-    # in the bf16 attack profile for zero accuracy gain.
-    prec = (jax.lax.Precision.HIGHEST if g.dtype == jnp.float32
-            else None)
+    # Mosaic's DEFAULT precision rounds f32 matmul operands to bf16
+    # (measured 2e-2 abs error on the kNN VJP), and HIGHEST costs 6
+    # MXU passes — profiled at 8.5 ms/iter on PointConv, where the
+    # C=3 xyz scatters pad to 128 lanes so every extra pass is pure
+    # waste. Instead f32 gradients are split hi|lo into bf16 halves
+    # packed SIDE-BY-SIDE in the lane dim: ONE native bf16 pass
+    # ([T, 2C] still <= 128 lanes for C <= 64 — same matmul cost as
+    # the unsplit 1-pass), reconstructed as hi + lo after the dot.
+    # Max error 2^-17 relative per contribution (measured 2.4e-5 on
+    # O(2) data) — gradient-grade exact. bf16 gradients stay 1-pass.
+    f32 = g.dtype == jnp.float32
+    if f32:
+        ghi = g.astype(jnp.bfloat16)
+        glo = (g - ghi.astype(jnp.float32)).astype(jnp.bfloat16)
+        g = jnp.concatenate([ghi, glo], axis=1)              # [T, 2C]
+    C = out_ref.shape[-1]
     for j in range(k):
         onehotT = (rowT == idx[:, j][None, :]).astype(g.dtype)
-        out_ref[0] += jax.lax.dot_general(
+        acc = jax.lax.dot_general(
             onehotT, g, (((1,), (0,)), ((), ())),
-            precision=prec,
             preferred_element_type=jnp.float32)
+        out_ref[0] += (acc[:, :C] + acc[:, C:] if f32 else acc)
 
 
 def scatter_add_rows_pallas(idx: jnp.ndarray, g: jnp.ndarray,
