@@ -126,7 +126,9 @@ def index_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     if _pallas_active() and N >= 128 and idx_flat.shape[1] >= 512:
         # large gathers: custom VJP replaces the autodiff scatter-add
         # (pathological on TPU) with one-hot^T matmuls (5-20x faster
-        # at attack shapes); the forward gather itself is fine
+        # at attack shapes); bf16 forwards also ride the one-hot MXU
+        # gather (XLA's dynamic-slice gather loop is VMEM-read-bound:
+        # 2.6 ms vs 1.6 for PointConv's [16,16384,131] stage gather)
         out = _gather_rows_mxu(N, points, idx_flat)
     else:
         out = jnp.take_along_axis(points, idx_flat[..., None], axis=1)
@@ -135,6 +137,13 @@ def index_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _gather_rows_mxu(n_points, points, idx_flat):
+    if (points.dtype == jnp.bfloat16 and _pallas_active()
+            and idx_flat.shape[1] >= 2048):
+        # exact for bf16: each one-hot row contributes a single 1.0 *
+        # value product, accumulated in f32 with no other terms
+        from hitadv_tpu.ops import pallas_kernels as PK
+
+        return PK.gather_rows_pallas(points, idx_flat)
     return jnp.take_along_axis(points, idx_flat[..., None], axis=1)
 
 

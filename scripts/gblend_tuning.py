@@ -22,11 +22,19 @@ def _time(jax, fn, args, iters=50):
     @jax.jit
     def run(args):
         def step(c, _):
-            outs = fn(*c[1:])
-            # fold outputs back into a carry slot to serialize the scan
+            # CRITICAL: perturb the float inputs by the carry — with
+            # loop-invariant args XLA hoists the whole body out of the
+            # scan and every measurement collapses to the ~30 ms host
+            # round-trip divided by `iters` (the trap that produced a
+            # uniform "0.6 ms" for every variant of this probe once).
+            acc = c[0]
+            args_i = [a + acc.astype(a.dtype)
+                      if jnp.issubdtype(a.dtype, jnp.floating) else a
+                      for a in c[1:]]
+            outs = fn(*args_i)
             leaf = jax.tree.leaves(outs)[0]
-            bump = jnp.sum(leaf) * 1e-20
-            return (c[0] + bump, *c[1:]), None
+            bump = jnp.sum(leaf.astype(jnp.float32)) * 1e-20
+            return (acc * 0.5 + bump * 1e-10, *c[1:]), None
 
         (acc, *_), _ = lax.scan(step, (jnp.float32(0), *args), None,
                                 length=iters)

@@ -25,9 +25,16 @@ def _time(jax, jnp, fn, args, iters=50):
     @jax.jit
     def run(args):
         def step(c, _):
-            out = fn(*c[1:])
-            return (c[0] + jnp.sum(out.astype(jnp.float32)) * 1e-20,
-                    *c[1:]), None
+            # perturb float inputs by the carry: loop-invariant args
+            # let XLA hoist the body out of the scan, collapsing every
+            # measurement to the ~30 ms host round-trip / iters
+            acc = c[0]
+            args_i = [a + acc.astype(a.dtype)
+                      if jnp.issubdtype(a.dtype, jnp.floating) else a
+                      for a in c[1:]]
+            out = fn(*args_i)
+            return (acc * 0.5 + jnp.sum(out.astype(jnp.float32))
+                    * 1e-30, *c[1:]), None
 
         (acc, *_), _ = lax.scan(step, (jnp.float32(0), *args), None,
                                 length=iters)

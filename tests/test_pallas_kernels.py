@@ -234,6 +234,29 @@ class TestGatherRowsMXU:
                 G.set_backend("auto")
         np.testing.assert_array_equal(outs["pallas"], outs["xla"])
 
+    def test_bf16_mxu_gather_fwd_exact(self, rng):
+        """bf16 forwards >= 2048 flat rows ride the one-hot MXU gather
+        (gather_rows_pallas) — must be bitwise equal to take_along_axis
+        (each one-hot row contributes exactly one 1.0 * value product,
+        accumulated alone in f32; verified EXACT on hardware too)."""
+        B, N, C = 2, 256, 35
+        y = jnp.array(rng.randn(B, N, C).astype(np.float32)
+                      ).astype(jnp.bfloat16)
+        idx = jnp.array(rng.randint(0, N, (B, 1024, 4)).astype(np.int32))
+        want = np.asarray(jnp.take_along_axis(
+            y, idx.reshape(B, -1)[..., None], axis=1)
+        ).reshape(B, 1024, 4, C)
+        G.set_backend("pallas")
+        try:
+            direct = np.asarray(
+                PK.gather_rows_pallas(y, idx.reshape(B, -1))
+            ).reshape(B, 1024, 4, C)
+            got = np.asarray(G.index_points(y, idx))
+        finally:
+            G.set_backend("auto")
+        np.testing.assert_array_equal(direct, want)
+        np.testing.assert_array_equal(got, want)
+
 
 class TestBackendDispatch:
     def test_set_backend_validation(self):
