@@ -94,6 +94,7 @@ def _bench_hit_adv(jax, jnp, victim="pointnet", B=64, N=1024, bf16=True,
     flops = None
     if want_flops:
         from hitadv_tpu.losses import chamfer_dist
+        from hitadv_tpu.ops import geometry as _G
 
         ori = jnp.asarray(pts)[..., :3]
 
@@ -102,7 +103,15 @@ def _bench_hit_adv(jax, jnp, victim="pointnet", B=64, N=1024, bf16=True,
             return (jnp.mean(adv_fn(logits, labels))
                     + jnp.mean(chamfer_dist(adv, ori)))
 
-        step_flops = _program_flops(jax, jax.grad(one_iter_loss), ori)
+        # trace the FLOPs-reference program on the XLA backend:
+        # cost_analysis() reports 0 FLOPs for Pallas custom calls, so
+        # the fused-kernel path under-counts (the math is identical)
+        _G.set_backend("xla")
+        try:
+            step_flops = _program_flops(jax, jax.grad(one_iter_loss),
+                                        ori)
+        finally:
+            _G.set_backend("auto")
         if step_flops:
             flops = step_flops * cfg.binary_step * cfg.num_iter
 

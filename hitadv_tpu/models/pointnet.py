@@ -42,14 +42,25 @@ def _stn_init(key: jax.Array, channel: int, k: int) -> Dict:
     }
 
 
-def _stn_apply(p: Dict, x: jnp.ndarray, k: int):
-    """x: [B, N, C] -> ([B, k, k] transform, conv feature tuple)."""
+def _stn_apply(p: Dict, x: jnp.ndarray, k: int, want_feats: bool = True):
+    """x: [B, N, C] -> ([B, k, k] transform, conv feature tuple).
+
+    ``want_feats=False`` (the logits-only attack path) fuses the last
+    conv+max via ``F.linear_bn_max`` — valid because relu is monotone:
+    ``max_n relu(z) == relu(max_n z)`` — so the [B, N, 1024] STN
+    activation never exists. The LPIPS feature path keeps it (tap 3).
+    """
     feats = []
     h = x
-    for i in range(3):
+    last = 3 if want_feats else 2
+    for i in range(last):
         h = F.relu(F.linear_bn(p["conv"][f"conv{i}"], p["conv"][f"bn{i}"], h))
         feats.append(h)
-    g = jnp.max(h, axis=1)                                    # [B, 1024]
+    if want_feats:
+        g = jnp.max(h, axis=1)                                # [B, 1024]
+    else:
+        g = F.relu(F.linear_bn_max(p["conv"]["conv2"],
+                                   p["conv"]["bn2"], h))      # [B, 1024]
     g = F.relu(F.linear_bn(p["fc1"], p["bn4"], g))
     g = F.relu(F.linear_bn(p["fc2"], p["bn5"], g))
     g = F.linear(p["fc3"], g)                                 # [B, k*k]
@@ -115,10 +126,11 @@ def init(key: jax.Array, num_classes: int = 40,
     }
 
 
-def apply_full(params: Dict, x: jnp.ndarray) -> PointNetOutput:
+def apply_full(params: Dict, x: jnp.ndarray,
+               want_feats: bool = True) -> PointNetOutput:
     """Forward pass. x: [B, N, C] (C=3 or 6)."""
     D = x.shape[-1]
-    trans, stn_feats = _stn_apply(params["stn"], x, 3)
+    trans, stn_feats = _stn_apply(params["stn"], x, 3, want_feats)
 
     if D > 3:
         xyz, extra = x[..., :3], x[..., 3:]
@@ -129,12 +141,13 @@ def apply_full(params: Dict, x: jnp.ndarray) -> PointNetOutput:
 
     h = F.relu(F.linear_bn(params["conv1"], params["bn1"], h))
     conv1_out = h
-    trans_feat, fstn_feats = _stn_apply(params["fstn"], h, 64)
+    trans_feat, fstn_feats = _stn_apply(params["fstn"], h, 64, want_feats)
     h = jnp.matmul(h, trans_feat, preferred_element_type=jnp.float32)
     h = F.relu(F.linear_bn(params["conv2"], params["bn2"], h))
     conv2_out = h
-    h = F.linear_bn(params["conv3"], params["bn3"], h)
-    g = jnp.max(h, axis=1)                                    # [B, 1024]
+    # conv3 + global max-pool, fused on TPU so the [B, N, 1024]
+    # activation never exists (see F.linear_bn_max)
+    g = F.linear_bn_max(params["conv3"], params["bn3"], h)    # [B, 1024]
 
     g = F.relu(F.linear_bn(params["head_fc1"], params["head_bn1"], g))
     # reference order: fc2 -> dropout(identity in eval) -> bn -> relu
@@ -148,8 +161,9 @@ def apply_full(params: Dict, x: jnp.ndarray) -> PointNetOutput:
 
 
 def apply(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
-    """Logits-only forward (the attack-facing signature)."""
-    return apply_full(params, x).logits
+    """Logits-only forward (the attack-facing signature). Skips the
+    LPIPS feature taps so the conv+maxpool bottlenecks fuse."""
+    return apply_full(params, x, want_feats=False).logits
 
 
 def features(params: Dict, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:

@@ -215,6 +215,78 @@ def linear_bn(lin: Params, bn: Params, x: jnp.ndarray,
     return linear({"w": lin["w"] * s[None], "b": b}, x)
 
 
+def linear_bn_max(lin: Params, bn: Params, x: jnp.ndarray,
+                  eps: float = 1e-5) -> jnp.ndarray:
+    """``max_n bn(x @ W + b)[b, n, :]`` — the conv-to-wide +
+    global-max-pool bottleneck (PointNet conv3/bn3 + torch.max,
+    `model/pointnet_utils.py:47-55`).
+
+    In eval-mode bf16 on TPU this dispatches to a fused Pallas pair
+    that never materializes the [B, N, C] activation: the forward
+    keeps a running (max, argmax-row) in VMEM; the backward routes the
+    cotangent through the single argmax row per (b, c) — profiled, the
+    unfused version streamed ~670 MB/iter of [64, 1024, 1024] through
+    HBM across conv write / maxpool read / dense max-bwd / dx / dW,
+    the HBM floor of the whole flagship attack. Ties pick the lowest
+    row (torch.max first-argmax; jnp.max autodiff instead SPLITS the
+    cotangent among ties — measure-zero for continuous activations).
+
+    Everywhere else: the plain composition.
+    """
+    from hitadv_tpu.ops.geometry import _pallas_active
+
+    if (not bn_is_training()) and x.dtype == jnp.bfloat16 \
+            and _pallas_active() and x.shape[1] >= 16:
+        s = bn["scale"] * jax.lax.rsqrt(bn["var"] + eps)
+        b = bn["bias"] - bn["mean"] * s
+        if "b" in lin:
+            b = b + lin["b"] * s
+        w = (lin["w"] * s[None]).astype(jnp.bfloat16)
+        return _max_linear_fused(x, w, b.astype(jnp.float32))
+    return jnp.max(linear_bn(lin, bn, x, eps), axis=1)
+
+
+def _max_linear_combine(mx8, row8):
+    """First-argmax reduce of the kernel's 8-row partials."""
+    vmax = jnp.max(mx8, axis=1)                              # [B, C]
+    tie = mx8 == vmax[:, None, :]
+    row = jnp.min(jnp.where(tie, row8, jnp.int32(2 ** 30)), axis=1)
+    return vmax, row
+
+
+@jax.custom_vjp
+def _max_linear_fused(x, w, b):
+    from hitadv_tpu.ops import pallas_kernels as PK
+
+    mx8, row8 = PK.max_linear_pallas(x, w, b)
+    return _max_linear_combine(mx8, row8)[0]
+
+
+def _max_linear_fwd(x, w, b):
+    from hitadv_tpu.ops import pallas_kernels as PK
+
+    mx8, row8 = PK.max_linear_pallas(x, w, b)
+    vmax, row = _max_linear_combine(mx8, row8)
+    return vmax, (x, w, row)
+
+
+def _max_linear_bwd(res, g):
+    from hitadv_tpu.ops import pallas_kernels as PK
+    from hitadv_tpu.ops.geometry import index_points
+
+    x, w, row = res
+    gf = g.astype(jnp.float32)
+    dx = PK.max_linear_dh_pallas(row, gf, w, x.shape[1])     # [B, N, K]
+    xsel = index_points(x, row).astype(jnp.float32)          # [B, C, K]
+    dw = jnp.einsum("bck,bc->kc", xsel, gf,
+                    preferred_element_type=jnp.float32)
+    db = jnp.sum(gf, axis=0)
+    return dx.astype(x.dtype), dw.astype(w.dtype), db
+
+
+_max_linear_fused.defvjp(_max_linear_fwd, _max_linear_bwd)
+
+
 # ---------------------------------------------------------------------------
 # Conv-BN(-act) stacks (the ubiquitous pattern in all victims)
 # ---------------------------------------------------------------------------

@@ -1001,3 +1001,165 @@ def scatter_add_rows_pallas(idx: jnp.ndarray, g: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((B, Np, C), jnp.float32),
     )(idx, gf)
     return out[:, :n_points].astype(g.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Fused linear + global max-pool (PointNet's [B, N, 1024] bottleneck)
+# ---------------------------------------------------------------------------
+#
+# g[b, c] = max_n (h[b, n, :] @ W[:, c] + bias[c])  — the conv3+maxpool
+# pair of `model/pointnet_utils.py:47-55`. Unfused, the [B, N, 1024]
+# activation streams through HBM ~5x per attack iteration (conv write,
+# maxpool read, dense max-bwd cotangent write, dx read, dW read —
+# ~670 MB at the flagship shape, the profiled HBM floor of the whole
+# attack). The fused forward computes z tiles in VMEM, keeps a running
+# (max, argmax-row) pair, and only [B, 8, C] partials leave the chip;
+# the backward is SPARSE: the cotangent routes to exactly one h-row per
+# (b, c) through one-hot matmuls, so the dense [B, N, C] tensor never
+# exists in either direction.
+
+
+def _maxlin_fwd_kernel(h_ref, w_ref, mx_ref, row_ref, *,
+                       tile_n: int, n_valid: int):
+    """One (batch, N-tile) program; the N-tile grid dim accumulates.
+
+    h_ref [1, TN, K] bf16; w_ref [K, C] bf16;
+    mx_ref [1, 8, C] f32 / row_ref [1, 8, C] i32 running partials.
+    The bias is NOT added here: a per-column constant commutes with
+    the row max (argmax unchanged), and a [1, C] bias broadcast from a
+    singleton-sublane block crashes Mosaic at C > 128 lanes
+    ("limits[i] <= dim(i) (8 vs 1)" in layout assignment) — the
+    wrapper adds it to the combined [B, C] result instead.
+    """
+    t = pl.program_id(1)
+    h = h_ref[0]                                             # [TN, K]
+    TN = h.shape[0]
+    C = w_ref.shape[1]
+
+    # C is processed in <= 128-lane chunks: the fold's SUBLANE slices
+    # crash Mosaic's extract_strided_slice on multi-lane-tile vectors
+    # ("Check failed: limits[i] <= dim(i)" in ApplyVectorLayout —
+    # probed: C <= 128 compiles, C >= 256 SIGABRTs). Lane-dim slices
+    # of wide arrays are fine (the hi|lo scatter kernel relies on
+    # them), so each chunk folds single-tile and the results concat.
+    vs, ids = [], []
+    for c0 in range(0, C, 128):
+        cw = min(128, C - c0)
+        z = jax.lax.dot_general(
+            h, w_ref[:, c0:c0 + cw], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [TN, cw]
+        ridx = (lax.broadcasted_iota(jnp.int32, (TN, cw), 0)
+                + t * tile_n)                                # global rows
+        z = jnp.where(ridx < n_valid, z, _NEG_INF)           # pad rows
+
+        # fold TN -> 8 sublanes (TN a power of two, enforced by the
+        # wrapper), carrying the source-row plane; ties keep the
+        # SMALLER global row (torch.max first-argmax semantics)
+        half = TN // 2
+        while half >= 8:
+            lo_v, hi_v = z[:half], z[half:2 * half]
+            lo_i, hi_i = ridx[:half], ridx[half:2 * half]
+            keep = (lo_v > hi_v) | ((lo_v == hi_v) & (lo_i <= hi_i))
+            z = jnp.where(keep, lo_v, hi_v)
+            ridx = jnp.where(keep, lo_i, hi_i)
+            half //= 2
+        vs.append(z)
+        ids.append(ridx)
+    z = vs[0] if len(vs) == 1 else jnp.concatenate(vs, axis=1)
+    ridx = ids[0] if len(ids) == 1 else jnp.concatenate(ids, axis=1)
+
+    @pl.when(t == 0)
+    def _init():
+        mx_ref[0] = jnp.full_like(mx_ref[0], _NEG_INF)
+        row_ref[0] = jnp.zeros_like(row_ref[0])
+
+    mx, row = mx_ref[0], row_ref[0]
+    better = (z > mx) | ((z == mx) & (ridx < row))
+    mx_ref[0] = jnp.where(better, z, mx)
+    row_ref[0] = jnp.where(better, ridx, row)
+
+
+def max_linear_pallas(h: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+                      tile_n: int = 512):
+    """(mx8 [B, 8, C] f32, row8 [B, 8, C] i32) partials of
+    ``max_n (h @ w + b)``; combine with a first-argmax reduce over
+    axis 1 (8 rows — trivial on the XLA side)."""
+    B, N, K = h.shape
+    C = w.shape[1]
+    # the in-kernel fold needs a power-of-two tile >= 16
+    tile_n = 16
+    while tile_n < min(512, N):
+        tile_n *= 2
+    pad_n = (-N) % tile_n
+    if pad_n:
+        h = jnp.pad(h, ((0, 0), (0, pad_n), (0, 0)))
+    Np = N + pad_n
+    kernel = functools.partial(_maxlin_fwd_kernel, tile_n=tile_n,
+                               n_valid=N)
+    mx, row = pl.pallas_call(
+        kernel,
+        grid=(B, Np // tile_n),
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        in_specs=[
+            pl.BlockSpec((1, tile_n, K), lambda bb, t: (bb, t, 0)),
+            pl.BlockSpec((K, C), lambda bb, t: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 8, C), lambda bb, t: (bb, 0, 0)),
+            pl.BlockSpec((1, 8, C), lambda bb, t: (bb, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 8, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, 8, C), jnp.int32),
+        ],
+    )(h, w)
+    # bias applied to the folded partials: a per-column constant
+    # commutes with the row max and leaves the argmax unchanged
+    return mx + b.astype(jnp.float32)[None, None, :], row
+
+
+def _maxlin_dh_kernel(row_ref, g_ref, wt_ref, out_ref, *, tile_n: int):
+    """dh tile: route g[b, c] to the argmax row, contract with W^T.
+
+    row_ref/g_ref [1, 1, C]; wt_ref [C, K] (pre-transposed — the NT
+    contraction emitted an i1 relayout Mosaic rejects); out [1, TN, K].
+    """
+    t = pl.program_id(1)
+    C = g_ref.shape[-1]
+    TN = out_ref.shape[1]
+    ridx = (lax.broadcasted_iota(jnp.int32, (TN, C), 0) + t * tile_n)
+    onehot = (ridx == jnp.broadcast_to(row_ref[0], (TN, C))
+              ).astype(g_ref.dtype)                          # [TN, C]
+    onehotg = onehot * jnp.broadcast_to(g_ref[0], (TN, C))
+    out_ref[0] = jax.lax.dot_general(
+        onehotg, wt_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(out_ref.dtype)
+
+
+def max_linear_dh_pallas(row: jnp.ndarray, g: jnp.ndarray,
+                         w: jnp.ndarray, n_points: int,
+                         tile_n: int = 512) -> jnp.ndarray:
+    """dL/dh of max_linear: [B, N, K] in w.dtype. row/g: [B, C]."""
+    B, C = row.shape
+    K = w.shape[0]
+    tile_n = min(tile_n, max(8, -(-n_points // 8) * 8))
+    pad_n = (-n_points) % tile_n
+    Np = n_points + pad_n
+    out = pl.pallas_call(
+        functools.partial(_maxlin_dh_kernel, tile_n=tile_n),
+        grid=(B, Np // tile_n),
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        in_specs=[
+            pl.BlockSpec((1, 1, C), lambda bb, t: (bb, 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda bb, t: (bb, 0, 0)),
+            pl.BlockSpec((C, K), lambda bb, t: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile_n, K), lambda bb, t: (bb, t, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Np, K), w.dtype),
+    )(row.reshape(B, 1, C), g.astype(w.dtype).reshape(B, 1, C),
+      w.T)
+    return out[:, :n_points]
