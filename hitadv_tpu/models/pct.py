@@ -133,8 +133,10 @@ def apply(params: Dict, x: jnp.ndarray,
     x4 = _sa_layer_apply(params["sa4"], x3)
     h = jnp.concatenate([x1, x2, x3, x4], axis=-1)            # [B,256,1024]
     h = jnp.concatenate([h, feat1], axis=-1)                  # [B,256,1280]
-    h = F.leaky_relu(F.linear_bn(params["conv_fuse"], params["bn_fuse"], h))
-    g = jnp.max(h, axis=1)                                    # [B, 1024]
+    # max(leaky(linear_bn)) == leaky(max(linear_bn)) (monotone): ride
+    # the fused VMEM-resident max_linear kernel (see F.linear_bn_max)
+    g = F.leaky_relu(F.linear_bn_max(params["conv_fuse"],
+                                     params["bn_fuse"], h))   # [B, 1024]
 
     g = F.leaky_relu(F.linear_bn(params["linear1"], params["bn6"], g))
     g = F.leaky_relu(F.linear_bn(params["linear2"], params["bn7"], g))

@@ -79,8 +79,9 @@ def _stage_init(key, in_channel, stage: PCStage):
 def _stage_apply(p, stage: PCStage, xyz, points):
     """xyz [B,N,3], points [B,N,D] -> (new_xyz [B,S,3], feats [B,S,C'])."""
     B, N, _ = xyz.shape
-    density = compute_density(xyz, stage.bandwidth)           # [B, N]
-    inv_density = 1.0 / density
+    with jax.named_scope("pc_density"):
+        density = compute_density(xyz, stage.bandwidth)       # [B, N]
+        inv_density = 1.0 / density
 
     if stage.group_all:
         new_xyz = jnp.mean(xyz, axis=1, keepdims=True)        # [B, 1, 3]
@@ -90,29 +91,38 @@ def _stage_apply(p, stage: PCStage, xyz, points):
         grouped_density = inv_density.reshape(B, 1, N, 1)
         S = 1
     else:
-        fps_idx = G.farthest_point_sample(xyz, stage.npoint, start_idx=0)
-        new_xyz = G.index_points(xyz, fps_idx)
-        idx = G.knn_point(stage.nsample, xyz, new_xyz)
-        grouped_xyz = (G.index_points(xyz, idx)
-                       - new_xyz[:, :, None, :])              # [B,S,ns,3]
-        grouped_points = G.index_points(points, idx)
-        new_points = jnp.concatenate([grouped_xyz, grouped_points],
-                                     axis=-1)
-        grouped_density = G.index_points(inv_density[..., None], idx)
+        with jax.named_scope("pc_fps"):
+            fps_idx = G.farthest_point_sample(xyz, stage.npoint,
+                                              start_idx=0)
+            new_xyz = G.index_points(xyz, fps_idx)
+        with jax.named_scope("pc_knn"):
+            idx = G.knn_point(stage.nsample, xyz, new_xyz)
+        with jax.named_scope("pc_group"):
+            grouped_xyz = (G.index_points(xyz, idx)
+                           - new_xyz[:, :, None, :])          # [B,S,ns,3]
+            grouped_points = G.index_points(points, idx)
+            new_points = jnp.concatenate([grouped_xyz, grouped_points],
+                                         axis=-1)
+            grouped_density = G.index_points(inv_density[..., None], idx)
         S = stage.npoint
 
-    h = F.mlp_apply(p["mlp"], new_points)                     # [B,S,ns,C']
+    with jax.named_scope("pc_mlp"):
+        h = F.mlp_apply(p["mlp"], new_points)                 # [B,S,ns,C']
 
-    inv_max = jnp.max(grouped_density, axis=2, keepdims=True)
-    density_scale = _densitynet_apply(p["densitynet"],
-                                      grouped_density / inv_max)
-    h = h * density_scale                                     # [B,S,ns,C']
+    with jax.named_scope("pc_densitynet"):
+        inv_max = jnp.max(grouped_density, axis=2, keepdims=True)
+        density_scale = _densitynet_apply(p["densitynet"],
+                                          grouped_density / inv_max)
+        h = h * density_scale                                 # [B,S,ns,C']
 
-    weights = _weightnet_apply(p["weightnet"], grouped_xyz)   # [B,S,ns,16]
-    agg = jnp.einsum("bsnc,bsnw->bscw", h, weights,
-                     preferred_element_type=jnp.float32)
-    agg = agg.reshape(B, S, -1)                               # [B,S,16*C']
-    out = F.relu(F.linear_bn(p["linear"], p["bn_linear"], agg))
+    with jax.named_scope("pc_weightnet"):
+        weights = _weightnet_apply(p["weightnet"],
+                                   grouped_xyz)               # [B,S,ns,16]
+    with jax.named_scope("pc_agg"):
+        agg = jnp.einsum("bsnc,bsnw->bscw", h, weights,
+                         preferred_element_type=jnp.float32)
+        agg = agg.reshape(B, S, -1)                           # [B,S,16*C']
+        out = F.relu(F.linear_bn(p["linear"], p["bn_linear"], agg))
     return new_xyz, out
 
 

@@ -910,57 +910,94 @@ def _scatter_add_rows_kernel(idx_ref, g_ref, out_ref, *, k: int):
         out_ref[0] += (acc[:, :C] + acc[:, C:] if f32 else acc)
 
 
-def _gather_rows_kernel(idx_ref, y_ref, out_ref):
-    """out[t, :] = y[idx[t], :] as a one-hot matmul (bf16 data only:
-    the single exact 1 per row reproduces each bf16 value exactly in
-    one native MXU pass; f32 data would be rounded — callers keep the
-    XLA gather for f32)."""
-    idx = idx_ref[0]                                         # [T, 128]
-    y = y_ref[0]                                             # [Np, C]
+def _gather_rows_kernel(idx_ref, y_ref, out_ref, *, splits: int):
+    """out[t, :] = y[idx[t], :] as a one-hot matmul.
+
+    bf16 data (splits=1) is bitwise exact in one native MXU pass: the
+    single 1 per one-hot row selects one value with no other summands.
+    f32 data arrives pre-split into ``splits=3`` bf16 planes packed
+    side-by-side in the lane dim (hi|mid|lo, 8+8+8 mantissa bits,
+    exact by construction — see gather_rows_pallas); reconstruction
+    hi + mid + lo in the f32 accumulator is bitwise exact too.
+    """
+    idx = idx_ref[0]                                         # [T, 1]
+    y = y_ref[0]                                             # [Np, S*C]
     T = idx.shape[0]
     Np = y.shape[0]
     col = lax.broadcasted_iota(jnp.int32, (T, Np), 1)
     onehot = (col == idx[:, 0][:, None]).astype(y.dtype)     # [T, Np]
-    out_ref[0] = jax.lax.dot_general(
+    acc = jax.lax.dot_general(
         onehot, y, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(out_ref.dtype)
+        preferred_element_type=jnp.float32)                  # [T, S*C]
+    C = out_ref.shape[-1]
+    if splits == 1:
+        out = acc
+    else:
+        out = acc[:, :C] + acc[:, C:2 * C] + acc[:, 2 * C:]
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _split3_bf16(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact 3-plane bf16 decomposition of f32, packed on the last dim.
+
+    hi = bf16(x); r1 = x - hi is exact in f32 (hi within a relative
+    2^-8 of x — Sterbenz); mid = bf16(r1); r2 = r1 - mid likewise
+    exact and <= 8 significant bits, so lo = bf16(r2) is exact.
+    x == hi + mid + lo bitwise (away from the f32 subnormal floor).
+    """
+    # lax.reduce_precision, NOT an astype round-trip: the environment
+    # compiles with --xla_allow_excess_precision=true, which elides
+    # x.astype(bf16).astype(f32) to x and silently zeroes the residual
+    # planes (measured: the reconstruction degraded to hi-plane-only)
+    hi = lax.reduce_precision(x, 8, 7)
+    r1 = x - hi
+    mid = lax.reduce_precision(r1, 8, 7)
+    lo = r1 - mid
+    return jnp.concatenate([hi.astype(jnp.bfloat16),
+                            mid.astype(jnp.bfloat16),
+                            lo.astype(jnp.bfloat16)], axis=-1)
 
 
 def gather_rows_pallas(points: jnp.ndarray, idx: jnp.ndarray,
                        tile: int = 1024) -> jnp.ndarray:
-    """``out[b, m, :] = points[b, idx[b, m], :]`` for bf16 points.
+    """``out[b, m, :] = points[b, idx[b, m], :]``, bitwise exact.
 
     XLA lowers big row gathers to VMEM-read-bound dynamic-slice loops
-    (profiled 2.7 ms/iter on PointConv's grouped-feature gather alone);
-    the one-hot matmul runs the same gather on the MXU ~5x faster and
-    is bitwise exact for bf16 data.
+    (profiled 2.7 ms/iter for PointConv's [16,16384] C=1 f32 density
+    gather ALONE); the one-hot matmul runs the same gather on the MXU.
+    bf16 data: one native pass. f32 data: exact 3-plane bf16 split
+    (see _split3_bf16), still one pass at 3C lanes.
     """
-    assert points.dtype == jnp.bfloat16
     B, N, C = points.shape
     M = idx.shape[1]
+    if points.dtype == jnp.bfloat16:
+        y, splits, odt = points, 1, jnp.bfloat16
+    else:
+        y, splits, odt = (_split3_bf16(points.astype(jnp.float32)), 3,
+                          jnp.float32)
     pad_n = (-N) % 8
     if pad_n:
-        points = jnp.pad(points, ((0, 0), (0, pad_n), (0, 0)))
+        y = jnp.pad(y, ((0, 0), (0, pad_n), (0, 0)))
     Np = N + pad_n
     pad_m = (-M) % tile
     if pad_m:
         idx = jnp.pad(idx, ((0, 0), (0, pad_m)))
     Mp = M + pad_m
-    idx = jnp.pad(idx[..., None], ((0, 0), (0, 0), (0, 127)))
+    idx = idx[..., None]                                     # [B, Mp, 1]
 
     out = pl.pallas_call(
-        _gather_rows_kernel,
+        functools.partial(_gather_rows_kernel, splits=splits),
         grid=(B, Mp // tile),
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
         in_specs=[
-            pl.BlockSpec((1, tile, 128), lambda b, t: (b, t, 0)),
-            pl.BlockSpec((1, Np, C), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((1, tile, 1), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, Np, splits * C), lambda b, t: (b, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, tile, C), lambda b, t: (b, t, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, Mp, C), jnp.bfloat16),
-    )(idx, points)
+        out_shape=jax.ShapeDtypeStruct((B, Mp, C), odt),
+    )(idx, y)
     return out[:, :M]
 
 
@@ -982,7 +1019,10 @@ def scatter_add_rows_pallas(idx: jnp.ndarray, g: jnp.ndarray,
         gf = jnp.pad(gf, ((0, 0), (0, pad_m), (0, 0)))
         idx = jnp.pad(idx, ((0, 0), (0, pad_m)))  # pad rows carry g=0
     Mp = M + pad_m
-    idx = jnp.pad(idx[..., None], ((0, 0), (0, 0), (0, 127)))  # lane pad
+    # lane dim 1 == array dim (allowed): padding idx to 128 lanes
+    # materialized an s32[B, M, 128] in HBM — profiled 0.4 ms/iter of
+    # pure pad traffic on PointConv
+    idx = idx[..., None]                                     # [B, Mp, 1]
 
     pad_out = (-n_points) % 8
     Np = n_points + pad_out
@@ -994,7 +1034,7 @@ def scatter_add_rows_pallas(idx: jnp.ndarray, g: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         in_specs=[
-            pl.BlockSpec((1, tile, 128), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, tile, 1), lambda b, t: (b, t, 0)),
             pl.BlockSpec((1, tile, C), lambda b, t: (b, t, 0)),
         ],
         out_specs=pl.BlockSpec((1, Np, C), lambda b, t: (b, 0, 0)),

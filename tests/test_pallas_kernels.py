@@ -257,6 +257,22 @@ class TestGatherRowsMXU:
         np.testing.assert_array_equal(direct, want)
         np.testing.assert_array_equal(got, want)
 
+    def test_f32_mxu_gather_fwd_exact(self, rng):
+        """f32 forwards ride the one-hot MXU gather via an exact
+        3-plane bf16 decomposition (hi|mid|lo, lax.reduce_precision —
+        an astype round-trip is elided under
+        --xla_allow_excess_precision). Must be bitwise equal."""
+        B, N, C = 2, 256, 3
+        y = jnp.array(rng.randn(B, N, C).astype(np.float32) * 3)
+        idx = jnp.array(rng.randint(0, N, (B, 4096)).astype(np.int32))
+        want = np.asarray(jnp.take_along_axis(y, idx[..., None], axis=1))
+        G.set_backend("pallas")
+        try:
+            got = np.asarray(PK.gather_rows_pallas(y, idx))
+        finally:
+            G.set_backend("auto")
+        np.testing.assert_array_equal(got, want)
+
 
 class TestBackendDispatch:
     def test_set_backend_validation(self):
