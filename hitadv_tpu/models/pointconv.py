@@ -48,6 +48,33 @@ def compute_density(xyz: jnp.ndarray, bandwidth: float) -> jnp.ndarray:
     return G.kde_density(xyz, bandwidth)
 
 
+@jax.custom_vjp
+def _max_lastdim(x):
+    """``jnp.max(x, -1, keepdims=True)`` with an elementwise VJP.
+
+    XLA lowers reduce-max's autodiff transpose to a select-and-scatter
+    fusion (profiled 1.3 ms/iter across PointConv's two densitynet
+    maxes); the mask/count formulation below computes the identical
+    tie-splitting gradient with plain elementwise ops.
+    """
+    return jnp.max(x, axis=-1, keepdims=True)
+
+
+def _max_lastdim_fwd(x):
+    m = jnp.max(x, axis=-1, keepdims=True)
+    return m, (x, m)
+
+
+def _max_lastdim_bwd(res, g):
+    x, m = res
+    mask = (x == m).astype(g.dtype)
+    cnt = jnp.sum(mask, axis=-1, keepdims=True)
+    return (mask * (g / cnt),)
+
+
+_max_lastdim.defvjp(_max_lastdim_fwd, _max_lastdim_bwd)
+
+
 def _densitynet_init(key, hidden=(16, 8)):
     return F.mlp_init(key, [1, *hidden, 1])
 
@@ -88,7 +115,7 @@ def _stage_apply(p, stage: PCStage, xyz, points):
         grouped_xyz = xyz[:, None] - new_xyz[:, :, None]      # [B,1,N,3]
         new_points = jnp.concatenate(
             [grouped_xyz, points[:, None]], axis=-1)
-        grouped_density = inv_density.reshape(B, 1, N, 1)
+        grouped_density = inv_density.reshape(B, 1, N)
         S = 1
     else:
         with jax.named_scope("pc_fps"):
@@ -98,21 +125,28 @@ def _stage_apply(p, stage: PCStage, xyz, points):
         with jax.named_scope("pc_knn"):
             idx = G.knn_point(stage.nsample, xyz, new_xyz)
         with jax.named_scope("pc_group"):
-            grouped_xyz = (G.index_points(xyz, idx)
+            # xyz and inv_density share idx: ONE f32 gather (and one
+            # scatter in the VJP) for both — the separate C=3 and C=1
+            # gathers each cost a full one-hot sweep (profiled
+            # 0.5 ms fwd + 0.77 ms bwd per gather)
+            aug = jnp.concatenate([xyz, inv_density[..., None]],
+                                  axis=-1)                    # [B, N, 4]
+            grouped_aug = G.index_points(aug, idx)            # [B,S,ns,4]
+            grouped_xyz = (grouped_aug[..., :3]
                            - new_xyz[:, :, None, :])          # [B,S,ns,3]
+            grouped_density = grouped_aug[..., 3]             # [B,S,ns]
             grouped_points = G.index_points(points, idx)
             new_points = jnp.concatenate([grouped_xyz, grouped_points],
                                          axis=-1)
-            grouped_density = G.index_points(inv_density[..., None], idx)
         S = stage.npoint
 
     with jax.named_scope("pc_mlp"):
         h = F.mlp_apply(p["mlp"], new_points)                 # [B,S,ns,C']
 
     with jax.named_scope("pc_densitynet"):
-        inv_max = jnp.max(grouped_density, axis=2, keepdims=True)
-        density_scale = _densitynet_apply(p["densitynet"],
-                                          grouped_density / inv_max)
+        inv_max = _max_lastdim(grouped_density)               # [B, S, 1]
+        density_scale = _densitynet_apply(
+            p["densitynet"], (grouped_density / inv_max)[..., None])
         h = h * density_scale                                 # [B,S,ns,C']
 
     with jax.named_scope("pc_weightnet"):
