@@ -45,7 +45,7 @@ def _local_op_apply(p, x):
     """
     h = F.relu(F.linear_bn(p["conv1"], p["bn1"], x))
     h = F.relu(F.linear_bn(p["conv2"], p["bn2"], h))
-    return jnp.max(h, axis=2)
+    return F.max_mid(h)
 
 
 def _sa_layer_init(key, channels):

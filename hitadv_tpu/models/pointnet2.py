@@ -53,7 +53,7 @@ def _sa_apply(params: Dict, cfg: SAConfig, xyz: jnp.ndarray,
             cfg.npoint, cfg.radius, cfg.nsample, xyz, points, key=key)
     # new_points: [B, S, ns, C+D] -> shared MLP over last dim + max over ns
     h = F.mlp_apply(params, new_points)
-    return new_xyz, jnp.max(h, axis=2)                        # [B, S, C']
+    return new_xyz, F.max_mid(h)                              # [B, S, C']
 
 
 def init(key: jax.Array, num_classes: int = 40,
@@ -135,7 +135,7 @@ def msg_apply(params: Dict, npoint: int,
         else:
             grouped = grouped_xyz
         h = F.mlp_apply(params[f"branch{i}"], grouped)
-        outs.append(jnp.max(h, axis=2))                       # [B, S, C']
+        outs.append(F.max_mid(h))                             # [B, S, C']
     return new_xyz, jnp.concatenate(outs, axis=-1)
 
 

@@ -189,6 +189,35 @@ def batchnorm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
 # Activations
 # ---------------------------------------------------------------------------
 
+@jax.custom_vjp
+def max_mid(x: jnp.ndarray) -> jnp.ndarray:
+    """``jnp.max(x, axis=-2)`` with an elementwise VJP.
+
+    XLA lowers reduce-max's autodiff transpose to a select-and-scatter
+    fusion (profiled at 1.3 ms/iter for PointConv's density maxes
+    alone); the mask/count formulation computes the identical
+    tie-splitting gradient with plain elementwise ops. Used for the
+    neighbor-axis max of grouped features ([..., ns, C] -> [..., C])
+    in PointNet++/PCT set abstractions.
+    """
+    return jnp.max(x, axis=-2)
+
+
+def _max_mid_fwd(x):
+    m = jnp.max(x, axis=-2)
+    return m, (x, m)
+
+
+def _max_mid_bwd(res, g):
+    x, m = res
+    mask = (x == m[..., None, :]).astype(g.dtype)
+    cnt = jnp.sum(mask, axis=-2, keepdims=True)
+    return (mask * (g[..., None, :] / cnt),)
+
+
+max_mid.defvjp(_max_mid_fwd, _max_mid_bwd)
+
+
 def relu(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(x, 0.0)
 
