@@ -381,8 +381,20 @@ def default_object_pc(num_points: int = 256, seed: int = 0) -> np.ndarray:
 def make_cw_add_objects(logits_fn: Callable, adv_fn: Callable,
                         object_pc: Optional[np.ndarray] = None,
                         cfg: AddObjectConfig = AddObjectConfig(),
-                        seed: int = 0):
-    """CWAddObjects: rigid mini-objects with learned shape/shift/rotation."""
+                        seed: int = 0, *, init_overrides=None):
+    """CWAddObjects: rigid mini-objects with learned shape/shift/rotation.
+
+    init_overrides: optional dict pinning every random draw for
+    trajectory-parity testing against `CW/Add_Objects.py:227-241`:
+      * ``"objects"`` ``[num_add, obj_num_p, 3]`` — the processed object
+        subsets (replaces the shuffle at :89-92);
+      * ``"centers"`` ``[B, num_add, 3]`` — the DBSCAN shift seeds;
+      * ``"noise_obj"`` ``[S, B, num_add, obj_num_p, 3]`` /
+        ``"noise_shift"`` ``[S, B, num_add, 3]`` — per-step 1e-7 init
+        noise (:229-235);
+      * ``"angles"`` ``[S, B, num_add, 3]`` — per-step uniform·π init
+        (:239-240).
+    """
     rng = np.random.RandomState(seed)
     if object_pc is None:
         object_pc = default_object_pc(seed=seed)
@@ -394,6 +406,11 @@ def make_cw_add_objects(logits_fn: Callable, adv_fn: Callable,
     for i in range(cfg.num_add):
         perm = rng.permutation(len(pc))
         objects[i] = pc[perm[:cfg.obj_num_p]]
+    if init_overrides is not None:
+        init_overrides = {k: jnp.asarray(v, jnp.float32)
+                          for k, v in init_overrides.items()}
+        if "objects" in init_overrides:
+            objects = np.asarray(init_overrides["objects"], np.float32)
     objects_j = jnp.asarray(objects)
 
     def rotate_shift(objs, angles, shifts):
@@ -418,7 +435,7 @@ def make_cw_add_objects(logits_fn: Callable, adv_fn: Callable,
             return l2_chamfer_dist(added, ori, objs, clean_objs)
 
         def inner_iter(carry, _):
-            (objs, shifts, angles, opts, weight, best, o_best) = carry
+            (objs, shifts, angles, opts, weight, best, o_best, _) = carry
 
             def loss_fn(objs, shifts, angles):
                 placed = rotate_shift(objs, angles, shifts)
@@ -445,30 +462,45 @@ def make_cw_add_objects(logits_fn: Callable, adv_fn: Callable,
             angles, op3 = adam_update(grads[2], op3, angles,
                                       cfg.attack_lr)
             angles = jnp.mod(angles, 2.0 * jnp.pi)            # wrap (:337)
+            # carry the PRE-step placement as the fallback candidate:
+            # the reference's `input_val` is a fresh transpose().
+            # contiguous() tensor here (`CW/Add_Objects.py:294`), so —
+            # unlike Perturb/Add, where .numpy() ALIASES the optimized
+            # tensor and opt.step() silently turns the fallback into the
+            # post-step state — Add_Objects' failure fallback (:359) is
+            # genuinely the last iteration's pre-step placed points.
             return (objs, shifts, angles, (op1, op2, op3), weight,
-                    best, o_best), ()
+                    best, o_best, added), ()
 
-        def binary_step(carry, step_key):
+        def binary_step(carry, step_in):
+            step_key, step_idx = step_in
             lower, upper, weight, o_best, _ = carry
             k1, k2, k3 = jax.random.split(step_key, 3)
-            objs0 = clean_objs + jax.random.normal(
-                k1, clean_objs.shape) * 1e-7
-            shifts0 = centers0 + jax.random.normal(
-                k2, centers0.shape) * 1e-7
-            angles0 = jax.random.uniform(
-                k3, (B, cfg.num_add, 3)) * jnp.pi
+            if init_overrides is not None:
+                objs0 = clean_objs + init_overrides["noise_obj"][step_idx]
+                shifts0 = centers0 + \
+                    init_overrides["noise_shift"][step_idx]
+                angles0 = init_overrides["angles"][step_idx]
+            else:
+                objs0 = clean_objs + jax.random.normal(
+                    k1, clean_objs.shape) * 1e-7
+                shifts0 = centers0 + jax.random.normal(
+                    k2, centers0.shape) * 1e-7
+                angles0 = jax.random.uniform(
+                    k3, (B, cfg.num_add, 3)) * jnp.pi
             zeros_add = jnp.zeros((B, A, 3))
             inner0 = (objs0, shifts0, angles0,
                       (adam_init(objs0), adam_init(shifts0),
                        adam_init(angles0)),
-                      weight, BestState.init(zeros_add), o_best)
-            (objs, shifts, angles, _, _, best, o_best), _ = lax.scan(
-                inner_iter, inner0, None, length=cfg.num_iter)
+                      weight, BestState.init(zeros_add), o_best,
+                      zeros_add)
+            (objs, shifts, angles, _, _, best, o_best,
+             last), _ = lax.scan(inner_iter, inner0, None,
+                                 length=cfg.num_iter)
             found = (best.score == labels) & (best.score != -1) \
                 & (best.dist <= o_best.dist)
             lower, upper, weight = binary_search_update(found, lower,
                                                         upper, weight)
-            last = rotate_shift(objs, angles, shifts).reshape(B, A, 3)
             return (lower, upper, weight, o_best, last), ()
 
         step_keys = jax.random.split(key, cfg.binary_step)
@@ -477,7 +509,8 @@ def make_cw_add_objects(logits_fn: Callable, adv_fn: Callable,
                 jnp.full((B,), cfg.init_weight),
                 BestState.init(zeros_add), zeros_add)
         (lower, _, _, o_best, last_adv), _ = lax.scan(
-            binary_step, init, step_keys)
+            binary_step, init,
+            (step_keys, jnp.arange(cfg.binary_step)))
         success = lower > 0.0
         added = jnp.where(success[:, None, None], o_best.adv, last_adv)
         adv_final = jnp.concatenate([ori, added], axis=1)
@@ -487,12 +520,16 @@ def make_cw_add_objects(logits_fn: Callable, adv_fn: Callable,
 
     def attack(points, labels, key) -> AttackResult:
         ori = points[..., :3]
-        cri = get_critical_points(logits_fn, ori, labels, cfg.num_cri)
-        centers = _cluster_seeds(np.asarray(cri), cfg.num_add, 1,
-                                 rng, as_centers=True)
-        centers0 = jnp.asarray(centers.reshape(ori.shape[0],
-                                               cfg.num_add, 3),
-                               jnp.float32)
+        if init_overrides is not None and "centers" in init_overrides:
+            centers0 = init_overrides["centers"]
+        else:
+            cri = get_critical_points(logits_fn, ori, labels,
+                                      cfg.num_cri)
+            centers = _cluster_seeds(np.asarray(cri), cfg.num_add, 1,
+                                     rng, as_centers=True)
+            centers0 = jnp.asarray(centers.reshape(ori.shape[0],
+                                                   cfg.num_add, 3),
+                                   jnp.float32)
         return optimize(ori, labels, centers0, key)
 
     return attack

@@ -7,6 +7,12 @@ bookkeeping with the AdvPC success senses:
   * targeted (`CW/AdvPC.py:142`): pred == target ∧ ae_pred != y_truth;
   * untargeted (`CW/UAdvPC.py:111,129`): pred != label ∧ ae_pred != label.
 The binary_step loop is restarts (no weight schedule), like AOF.
+
+Bookkeeping quirk: the targeted loop recomputes predictions on the
+POST-step clipped cloud under no_grad (`CW/AdvPC.py:111-124`), but the
+untargeted loop reuses the PRE-step forward logits and pairs them with
+the post-step clipped coordinates (`CW/UAdvPC.py:103-132`) — and adds a
+``GAMMA < 0.001`` escape that drops the AE condition entirely.
 """
 
 from __future__ import annotations
@@ -39,7 +45,8 @@ class AdvPCConfig:
 
 def make_advpc(logits_fn: Callable, ae_fn: Callable, adv_fn: Callable,
                clip_fn: Callable,
-               cfg: AdvPCConfig = AdvPCConfig()):
+               cfg: AdvPCConfig = AdvPCConfig(),
+               *, init_overrides=None):
     """Build the jitted AdvPC attack.
 
     Args:
@@ -47,8 +54,15 @@ def make_advpc(logits_fn: Callable, ae_fn: Callable, adv_fn: Callable,
       ae_fn: autoencoder ``[B, N, 3] -> [B, N, 3]``.
       adv_fn: per-example margin loss (matching cfg.targeted).
       clip_fn: ``(adv, ori) -> adv``.
+      init_overrides: optional ``{"noise": [S, B, N, 3]}`` pinning the
+        per-restart 1e-7 init noise (`CW/AdvPC.py:63-64`) for
+        trajectory-parity testing.
     The targeted variant takes true labels via ``y_truth``.
     """
+    if init_overrides is not None:
+        init_overrides = {k: jnp.asarray(v)
+                          for k, v in init_overrides.items()}
+
     @jax.jit
     def attack(points, labels, key,
                y_truth: Optional[jnp.ndarray] = None) -> AttackResult:
@@ -56,31 +70,45 @@ def make_advpc(logits_fn: Callable, ae_fn: Callable, adv_fn: Callable,
         B = ori.shape[0]
         truth = labels if y_truth is None else y_truth
 
-        def restart(carry, step_key):
+        def restart(carry, step_in):
+            step_key, step_idx = step_in
             o_best, _ = carry
-            adv0 = ori + jax.random.normal(step_key, ori.shape) * 1e-7
+            if init_overrides is not None:
+                adv0 = ori + init_overrides["noise"][step_idx]
+            else:
+                adv0 = ori + jax.random.normal(step_key,
+                                               ori.shape) * 1e-7
 
             def inner(carry, _):
                 adv, opt, o_best = carry
 
                 def loss_fn(adv):
+                    logits = logits_fn(adv)
+                    ae_logits = logits_fn(ae_fn(adv))
                     l = (1.0 - cfg.gamma) * jnp.mean(
-                        adv_fn(logits_fn(adv), labels))
+                        adv_fn(logits, labels))
                     l = l + cfg.gamma * jnp.mean(
-                        adv_fn(logits_fn(ae_fn(adv)), labels))
-                    return l
+                        adv_fn(ae_logits, labels))
+                    return l, (logits, ae_logits)
 
-                grad = jax.grad(loss_fn)(adv)
+                grad, stale = jax.grad(loss_fn, has_aux=True)(adv)
                 adv, opt = adam_update(grad, opt, adv, cfg.attack_lr)
                 adv = clip_fn(adv, ori)
 
-                pred = jnp.argmax(logits_fn(adv), axis=-1)
-                ae_pred = jnp.argmax(logits_fn(ae_fn(adv)), axis=-1)
                 dist = jnp.sqrt(jnp.sum((adv - ori) ** 2, axis=(1, 2)))
                 if cfg.targeted:
+                    # fresh post-step recompute (`CW/AdvPC.py:111-124`)
+                    pred = jnp.argmax(logits_fn(adv), axis=-1)
+                    ae_pred = jnp.argmax(logits_fn(ae_fn(adv)), axis=-1)
                     ok = (pred == labels) & (ae_pred != truth)
                 else:
-                    ok = (pred != labels) & (ae_pred != labels)
+                    # stale PRE-step logits paired with post-step coords
+                    # (`CW/UAdvPC.py:109-132`)
+                    pred = jnp.argmax(stale[0], axis=-1)
+                    ae_pred = jnp.argmax(stale[1], axis=-1)
+                    ok = pred != labels
+                    if cfg.gamma >= 0.001:   # GAMMA escape (:129)
+                        ok = ok & (ae_pred != labels)
                 o_best = update_best(o_best, ok, dist, pred, adv)
                 return (adv, opt, o_best), ()
 
@@ -89,7 +117,8 @@ def make_advpc(logits_fn: Callable, ae_fn: Callable, adv_fn: Callable,
                 length=cfg.num_iter)
             return (o_best, adv), ()
 
-        step_keys = jax.random.split(key, cfg.binary_step)
+        step_keys = (jax.random.split(key, cfg.binary_step),
+                     jnp.arange(cfg.binary_step))
         init = (BestState.init(ori), jnp.zeros_like(ori))
         (o_best, last_adv), _ = lax.scan(restart, init, step_keys)
 

@@ -250,14 +250,26 @@ def make_aof(logits_fn: Callable, adv_fn: Callable,
 
                 def loss_fn(lfc):
                     full_logits = logits_fn(lfc + hfc)
-                    l = (1.0 - cfg.gamma) * jnp.mean(
-                        adv_fn(full_logits, labels))
                     lfc_logits = logits_fn(lfc)
+                    if cfg.mode == "ae_untargeted":
+                        # UAEAOF mix (`CW/UAEAOF.py:143-162`):
+                        # (1-2Γ)·full + Γ·ae + Γ·lfc
+                        ae_logits = logits_fn(ae_fn(lfc + hfc))
+                        l = (1.0 - 2.0 * cfg.gamma) * jnp.mean(
+                            adv_fn(full_logits, labels))
+                        l = l + cfg.gamma * jnp.mean(
+                            adv_fn(ae_logits, labels))
+                    else:
+                        # AOF/TAOF mix (`CW/AOF.py:143-150`):
+                        # (1-Γ)·full + Γ·lfc
+                        ae_logits = full_logits
+                        l = (1.0 - cfg.gamma) * jnp.mean(
+                            adv_fn(full_logits, labels))
                     l = l + cfg.gamma * jnp.mean(adv_fn(lfc_logits,
                                                         labels))
-                    return l
+                    return l, (full_logits, lfc_logits, ae_logits)
 
-                grad = jax.grad(loss_fn)(lfc)
+                grad, stale = jax.grad(loss_fn, has_aux=True)(lfc)
                 lfc, opt = adam_update(grad, opt, lfc, cfg.attack_lr)
 
                 # clip in coordinate space, re-project (:158-165)
@@ -265,11 +277,18 @@ def make_aof(logits_fn: Callable, adv_fn: Callable,
                 lfc, hfc = spectral_split(adv, V)
                 adv = lfc + hfc
 
-                pred = jnp.argmax(logits_fn(adv), axis=-1)
-                lfc_pred = jnp.argmax(logits_fn(lfc), axis=-1)
                 if cfg.mode == "ae_untargeted":
-                    ae_pred = jnp.argmax(logits_fn(ae_fn(adv)), axis=-1)
+                    # UAEAOF bookkeeping pairs the PRE-step predictions
+                    # with the post-step clipped coordinates — it reuses
+                    # the forward logits instead of recomputing them
+                    # (`CW/UAEAOF.py:179-205`, vs AOF/TAOF's fresh
+                    # no_grad recompute at `CW/AOF.py:171-183`)
+                    pred = jnp.argmax(stale[0], axis=-1)
+                    lfc_pred = jnp.argmax(stale[1], axis=-1)
+                    ae_pred = jnp.argmax(stale[2], axis=-1)
                 else:
+                    pred = jnp.argmax(logits_fn(adv), axis=-1)
+                    lfc_pred = jnp.argmax(logits_fn(lfc), axis=-1)
                     ae_pred = pred
                 dist = jnp.sqrt(jnp.sum((adv - ori) ** 2, axis=(1, 2)))
                 ok = success_mask(pred, lfc_pred, ae_pred)
@@ -286,11 +305,14 @@ def make_aof(logits_fn: Callable, adv_fn: Callable,
         init = (BestState.init(ori), jnp.zeros_like(ori))
         (o_best, last_adv), _ = lax.scan(restart, init, step_keys)
 
-        # failures fall back to the last iterate, then a final clip (:224-231)
+        # failures fall back to the last iterate, then a final clip
+        # (`CW/AOF.py:224-231`, `CW/UAEAOF.py:227-231`) — which TAOF
+        # alone skips (`CW/TAOF.py:232`, the clip line is commented out)
         found = o_best.score >= 0
         adv_final = jnp.where(found[:, None, None], o_best.adv,
                               last_adv)
-        adv_final = clip_fn(adv_final, ori)
+        if cfg.mode != "targeted":
+            adv_final = clip_fn(adv_final, ori)
         pred = jnp.argmax(logits_fn(adv_final), axis=-1)
         success = ((pred == labels) if cfg.mode == "targeted"
                    else (pred != labels))

@@ -145,8 +145,11 @@ def build_attack(cfg: EvalConfig, logits_fn: Callable,
         mode = {"aof": "untargeted", "taof": "targeted",
                 "uaeaof": "ae_untargeted"}[name]
         adv = targeted_margin if mode == "targeted" else untargeted_margin
+        # UAEAOF's reference default GAMMA is 0.25 (`CW/UAEAOF.py:59`),
+        # vs 0.5 for AOF/TAOF (`CW/AOF.py:59`)
         aof_cfg = attacks.AOFConfig(
-            attack_lr=cfg.attack_lr, num_iter=cfg.num_iter, mode=mode)
+            attack_lr=cfg.attack_lr, num_iter=cfg.num_iter, mode=mode,
+            gamma=(0.25 if mode == "ae_untargeted" else 0.5))
         if mode == "ae_untargeted" and ae_fn is None:
             ae_fn = _default_ae(cfg)
         return xyz_only(attacks.make_aof(logits_fn, adv, linf_clip,

@@ -806,3 +806,377 @@ class TestHiTADVParity:
 
         np.testing.assert_allclose(adv, adv_ref, atol=2e-3)
         assert int(res.success.sum()) == int(succ_ref)
+
+
+class TestCWPerturbTParity:
+    """`CW/PerturbT.py:13-183` — the Perturb skeleton with a per-step
+    linf clip (`:139-141`) and an unconditional input transpose."""
+
+    def test_trajectory_with_clip(self, victim, monkeypatch):
+        rh.patch_cuda(monkeypatch)
+        import torch
+        from CW.PerturbT import CWPerturbT
+        from util.adv_utils import LogitsAdvLoss
+        from util.clip_utils import ClipPointsLinf
+        from util.dist_utils import L2Dist
+        from hitadv_tpu import losses
+        from hitadv_tpu.attacks import base, cw
+
+        m, params = victim
+        x = np.random.RandomState(20).randn(B, N, 3).astype(
+            np.float32) * .5
+        clean = _clean_labels(m, x)
+        target = clean.clone()
+        target[B // 2:] = (clean[B // 2:] + 17) % 40
+        S, iters, budget = 2, 5, 0.06   # tight budget so the clip BITES
+
+        noise = np.random.RandomState(44).randn(
+            S, B, N, 3).astype(np.float32) * 1e-7
+        monkeypatch.setattr(
+            torch, "randn",
+            rh.RandQueue([np.swapaxes(noise[s], 1, 2) / 1e-7
+                          for s in range(S)]))
+
+        atk = CWPerturbT(m, LogitsAdvLoss(kappa=1.0), L2Dist(),
+                         attack_lr=1e-2, init_weight=10., max_weight=80.,
+                         binary_step=S, num_iter=iters,
+                         clip_func=ClipPointsLinf(budget))
+        adv_ref, succ_ref = atk.attack(torch.from_numpy(x.copy()),
+                                       target)
+
+        cfg = cw.CWConfig(attack_lr=1e-2, init_weight=10.,
+                          max_weight=80., binary_step=S, num_iter=iters,
+                          targeted=True)
+        ours = cw.make_cw_perturb(
+            _jax_logits_fn(params),
+            base.make_adv_fn("logits", kappa=1.0, targeted=True),
+            cfg=cfg,
+            clip_fn=lambda a, o: losses.clip_points_linf(a, o, budget),
+            init_overrides={"noise": noise})
+        res = ours(jnp.asarray(x),
+                   jnp.asarray(target.numpy().astype(np.int32)),
+                   jax.random.PRNGKey(0))
+        adv = np.asarray(res.adv_points)
+
+        np.testing.assert_allclose(adv, adv_ref, atol=2e-4)
+        assert int(res.success.sum()) == int(succ_ref)
+        # the clip must actually constrain: some offsets at the boundary
+        assert np.max(np.abs(adv - x)) <= budget + 1e-5
+
+
+class TestTAOFParity:
+    """`CW/TAOF.py:54-242` — targeted AOF: bookkeeping needs
+    pred == target AND lfc_pred != y_truth (:203); unlike AOF the final
+    clip is skipped (:232, commented out)."""
+
+    def test_trajectory(self, victim, monkeypatch):
+        rh.patch_cuda(monkeypatch)
+        import torch
+
+        monkeypatch.setattr(
+            torch, "symeig",
+            lambda M, eigenvectors=True: torch.linalg.eigh(M),
+            raising=False)
+        from CW.TAOF import CWTAOF
+        from util.adv_utils import LogitsAdvLoss
+        from util.clip_utils import ClipPointsLinf
+        from hitadv_tpu import losses
+        from hitadv_tpu.attacks import aof, base
+
+        m, params = victim
+        x = np.random.RandomState(21).randn(B, N, 3).astype(
+            np.float32) * .5
+        clean = _clean_labels(m, x)
+        target = clean.clone()
+        target[B // 2:] = (clean[B // 2:] + 17) % 40
+        budget, lp, iters = 0.18, 10, 5
+
+        noise = np.random.RandomState(45).randn(
+            1, B, N, 3).astype(np.float32) * 1e-7
+        monkeypatch.setattr(
+            torch, "randn",
+            rh.RandQueue([np.swapaxes(noise[0], 1, 2) / 1e-7]))
+
+        atk = CWTAOF(m, LogitsAdvLoss(kappa=1.0), None,
+                     attack_lr=1e-2, binary_step=1, num_iter=iters,
+                     GAMMA=0.5, low_pass=lp,
+                     clip_func=ClipPointsLinf(budget))
+        _, adv_ref, succ_ref = atk.attack(torch.from_numpy(x.copy()),
+                                          target, y_truth=clean)
+
+        cfg = aof.AOFConfig(attack_lr=1e-2, binary_step=1,
+                            num_iter=iters, gamma=0.5, low_pass=lp,
+                            mode="targeted")
+        clip = lambda a, o: losses.clip_points_linf(a, o, budget)  # noqa: E731
+        ours = aof.make_aof(
+            _jax_logits_fn(params),
+            base.make_adv_fn("logits", kappa=1.0, targeted=True),
+            clip, cfg, init_overrides={"noise": noise})
+        res = ours(jnp.asarray(x),
+                   jnp.asarray(target.numpy().astype(np.int32)),
+                   jax.random.PRNGKey(0),
+                   y_truth=jnp.asarray(clean.numpy().astype(np.int32)))
+        adv = np.asarray(res.adv_points)
+
+        # same eigh LAPACK drift tolerance as the AOF test
+        assert _coord_match(adv, adv_ref, 5e-3) > 0.995, (
+            _coord_match(adv, adv_ref, 5e-3))
+        assert int(res.success.sum()) == int(succ_ref)
+
+
+class TestUAEAOFParity:
+    """`CW/UAEAOF.py:54-241` — AE-regularized AOF: loss mixes
+    (1-2Γ)·full + Γ·ae + Γ·lfc (:143-162); bookkeeping reuses the
+    PRE-step logits with the post-step coords (:180-205)."""
+
+    def test_trajectory(self, victim, monkeypatch):
+        rh.patch_cuda(monkeypatch)
+        import torch
+
+        monkeypatch.setattr(
+            torch, "symeig",
+            lambda M, eigenvectors=True: torch.linalg.eigh(M),
+            raising=False)
+        from CW.UAEAOF import CWUAEAOF
+        from util.adv_utils import UntargetedLogitsAdvLoss
+        from util.clip_utils import ClipPointsLinf
+        from hitadv_tpu import losses
+        from hitadv_tpu.attacks import aof, base
+        from hitadv_tpu.models import autoencoder
+
+        m, params = victim
+        x = np.random.RandomState(22).randn(B, N, 3).astype(
+            np.float32) * .5
+        labels = _clean_labels(m, x)
+        budget, lp, iters, gamma = 0.18, 10, 5, 0.25
+
+        ae_params = autoencoder.init(jax.random.PRNGKey(3),
+                                     num_points=N)
+        t_ae = rh.build_torch_ae(ae_params, N)
+
+        noise = np.random.RandomState(46).randn(
+            1, B, N, 3).astype(np.float32) * 1e-7
+        monkeypatch.setattr(
+            torch, "randn",
+            rh.RandQueue([np.swapaxes(noise[0], 1, 2) / 1e-7]))
+
+        atk = CWUAEAOF(m, t_ae, UntargetedLogitsAdvLoss(kappa=0.0),
+                       None, attack_lr=1e-2, binary_step=1,
+                       num_iter=iters, GAMMA=gamma, low_pass=lp,
+                       clip_func=ClipPointsLinf(budget))
+        _, adv_ref, succ_ref = atk.attack(torch.from_numpy(x.copy()),
+                                          labels)
+
+        cfg = aof.AOFConfig(attack_lr=1e-2, binary_step=1,
+                            num_iter=iters, gamma=gamma, low_pass=lp,
+                            mode="ae_untargeted")
+        clip = lambda a, o: losses.clip_points_linf(a, o, budget)  # noqa: E731
+        ours = aof.make_aof(
+            _jax_logits_fn(params),
+            base.make_adv_fn("logits", kappa=0.0, targeted=False),
+            clip, cfg,
+            ae_fn=lambda p: autoencoder.apply(ae_params, p),
+            init_overrides={"noise": noise})
+        res = ours(jnp.asarray(x),
+                   jnp.asarray(labels.numpy().astype(np.int32)),
+                   jax.random.PRNGKey(0))
+        adv = np.asarray(res.adv_points)
+
+        assert _coord_match(adv, adv_ref, 5e-3) > 0.995, (
+            _coord_match(adv, adv_ref, 5e-3))
+        assert int(res.success.sum()) == int(succ_ref)
+
+
+class TestUAdvPCParity:
+    """`CW/UAdvPC.py:10-167` — untargeted AdvPC: stale PRE-step
+    pred/ae_pred paired with post-step clipped coords (:109-132) and
+    the GAMMA < 0.001 escape on the AE condition (:129)."""
+
+    def test_trajectory(self, victim, monkeypatch):
+        rh.patch_cuda(monkeypatch)
+        import torch
+        from CW.UAdvPC import CWUAdvPC
+        from util.adv_utils import UntargetedLogitsAdvLoss
+        from util.clip_utils import ClipPointsLinf
+        from hitadv_tpu import losses
+        from hitadv_tpu.attacks import advpc, base
+        from hitadv_tpu.models import autoencoder
+
+        m, params = victim
+        x = np.random.RandomState(23).randn(B, N, 3).astype(
+            np.float32) * .5
+        labels = _clean_labels(m, x)
+        budget, iters, S = 0.18, 5, 2
+
+        ae_params = autoencoder.init(jax.random.PRNGKey(4),
+                                     num_points=N)
+        t_ae = rh.build_torch_ae(ae_params, N)
+
+        noise = np.random.RandomState(47).randn(
+            S, B, N, 3).astype(np.float32) * 1e-7
+        monkeypatch.setattr(
+            torch, "randn",
+            rh.RandQueue([np.swapaxes(noise[s], 1, 2) / 1e-7
+                          for s in range(S)]))
+
+        atk = CWUAdvPC(m, t_ae, UntargetedLogitsAdvLoss(kappa=0.0),
+                       None, attack_lr=1e-2, binary_step=S,
+                       num_iter=iters, GAMMA=0.5,
+                       clip_func=ClipPointsLinf(budget))
+        _, adv_ref, succ_ref = atk.attack(torch.from_numpy(x.copy()),
+                                          labels)
+
+        ours = advpc.make_advpc(
+            _jax_logits_fn(params),
+            lambda p: autoencoder.apply(ae_params, p),
+            base.make_adv_fn("logits", kappa=0.0, targeted=False),
+            lambda a, o: losses.clip_points_linf(a, o, budget),
+            advpc.AdvPCConfig(attack_lr=1e-2, binary_step=S,
+                              num_iter=iters, gamma=0.5,
+                              targeted=False),
+            init_overrides={"noise": noise})
+        res = ours(jnp.asarray(x),
+                   jnp.asarray(labels.numpy().astype(np.int32)),
+                   jax.random.PRNGKey(0))
+        adv = np.asarray(res.adv_points)
+
+        assert _coord_match(adv, adv_ref, 2e-3) > 0.99, (
+            _coord_match(adv, adv_ref, 2e-3))
+        assert int(res.success.sum()) == int(succ_ref)
+
+
+class TestCWAddObjectsParity:
+    """`CW/Add_Objects.py:50-367` — rigid objects with learned
+    shape/shift/y-rotation, mod-2π angle wrap, L2ChamferDist."""
+
+    def test_trajectory(self, victim, monkeypatch):
+        rh.patch_cuda(monkeypatch)
+        import torch
+        from CW.Add_Objects import CWAddObjects
+        from util.adv_utils import LogitsAdvLoss
+        from util.dist_utils import L2ChamferDist
+        from hitadv_tpu.attacks import add, base
+
+        m, params = victim
+        x = np.random.RandomState(24).randn(B, N, 3).astype(
+            np.float32) * .5
+        clean = _clean_labels(m, x)
+        target = clean.clone()
+        target[B // 2:] = (clean[B // 2:] + 11) % 40
+        S, na, op, iters = 2, 2, 16, 5
+        A = na * op
+
+        # pinned processed objects (both sides bypass their own
+        # shuffle/normalize of the raw object cloud)
+        objects = (np.random.RandomState(50)
+                   .randn(na, op, 3).astype(np.float32) * 0.3)
+        # pinned DBSCAN shift seeds: our seeding over our critical points
+        cri = add.get_critical_points(
+            _jax_logits_fn(params), jnp.asarray(x),
+            jnp.asarray(target.numpy().astype(np.int32)), 32)
+        centers = add._cluster_seeds(np.asarray(cri), na, 1,
+                                     np.random.RandomState(5),
+                                     as_centers=True)  # [B, na, 3]
+        monkeypatch.setattr(CWAddObjects, "_init_centers",
+                            lambda self, pc, label: centers)
+
+        draws = np.random.RandomState(48)
+        noise_obj = draws.randn(S, B, na, op, 3).astype(
+            np.float32) * 1e-7
+        noise_shift = draws.randn(S, B, na, 3).astype(np.float32) * 1e-7
+        u_angles = draws.rand(S, B, na, 3).astype(np.float32)
+        # torch draws randn in [B, na, op, 3]/[B, na, 3] layout directly
+        # (`CW/Add_Objects.py:229-235`) and rand_like for angles (:239)
+        queue = []
+        for s in range(S):
+            queue += [noise_obj[s] / 1e-7, noise_shift[s] / 1e-7]
+        monkeypatch.setattr(torch, "randn", rh.RandQueue(queue))
+        angle_queue = rh.RandQueue([u_angles[s] for s in range(S)])
+        monkeypatch.setattr(
+            torch, "rand_like",
+            lambda t, **k: angle_queue(*tuple(t.shape)))
+
+        atk = CWAddObjects(m, LogitsAdvLoss(kappa=1.0),
+                           L2ChamferDist(num_add=na),
+                           object_pc=np.random.RandomState(51)
+                           .randn(64, 3).astype(np.float32),
+                           attack_lr=1e-2, init_weight=5.,
+                           max_weight=40., binary_step=S,
+                           num_iter=iters, num_add=na, obj_num_p=op,
+                           scaling=0.3)
+        atk.object_pc = objects.astype(np.float64)  # pin processed objs
+        _, adv_ref, succ_ref = atk.attack(torch.from_numpy(x.copy()),
+                                          target)
+
+        ours = add.make_cw_add_objects(
+            _jax_logits_fn(params),
+            base.make_adv_fn("logits", kappa=1.0, targeted=True),
+            cfg=add.AddObjectConfig(attack_lr=1e-2, init_weight=5.,
+                                    max_weight=40., binary_step=S,
+                                    num_iter=iters, num_add=na,
+                                    obj_num_p=op),
+            init_overrides={
+                "objects": objects,
+                "centers": centers.astype(np.float32),
+                "noise_obj": noise_obj,
+                "noise_shift": noise_shift,
+                "angles": u_angles * np.pi,
+            })
+        res = ours(jnp.asarray(x),
+                   jnp.asarray(target.numpy().astype(np.int32)),
+                   jax.random.PRNGKey(0))
+        adv = np.asarray(res.adv_points)
+
+        assert adv.shape == adv_ref.shape == (B, N + A, 3)
+        np.testing.assert_allclose(adv[:, :N], x, atol=1e-6)
+        # free-floating objects: the chamfer argmin can flip between
+        # frameworks near ties (same as the Add/Add-Cluster tests)
+        assert _coord_match(adv, adv_ref, 2e-3) > 0.9, (
+            _coord_match(adv, adv_ref, 2e-3))
+        assert int(res.success.sum()) == int(succ_ref)
+
+
+class TestSatForwardParity:
+    """`Saliency/Drop.py:115-165` — drop+FGM hybrid: FGM-perturb the
+    num_drop most salient points, delete them from the other copy."""
+
+    def test_outputs_match(self, victim, monkeypatch):
+        rh.patch_cuda(monkeypatch)
+        import torch
+        from Saliency.Drop import SaliencyDrop
+        from hitadv_tpu.attacks import drop
+
+        m, params = victim
+        x = np.random.RandomState(25).randn(B, N, 3).astype(
+            np.float32) * .5
+        labels = _clean_labels(m, x)
+        num_drop, budget = 10, 0.08
+
+        atk = SaliencyDrop(m, num_drop=num_drop, alpha=1, k=4)
+        # sat_forward transposes unconditionally (`Drop.py:124`)
+        adv_ref, del_ref = atk.sat_forward(torch.from_numpy(x.copy()),
+                                           labels, budget)
+        adv_ref, del_ref = adv_ref.numpy(), del_ref.numpy()
+
+        ours = drop.make_sat_forward(
+            _jax_logits_fn(params), budget,
+            drop.DropConfig(num_drop=num_drop, alpha=1.0))
+        adv, del_pc = ours(jnp.asarray(x),
+                           jnp.asarray(labels.numpy().astype(np.int32)))
+        adv, del_pc = np.asarray(adv), np.asarray(del_pc)
+
+        assert adv.shape == adv_ref.shape == (B, N, 3)
+        assert del_pc.shape == del_ref.shape == (B, N - num_drop, 3)
+        # the perturbed block rides idx_pert whose saliency values are
+        # well-separated — positional match (sign(grad) may flip on
+        # near-zero gradient coords, hence fraction-level)
+        assert _coord_match(adv[:, :num_drop], adv_ref[:, :num_drop],
+                            1e-5) > 0.97, (
+            _coord_match(adv[:, :num_drop], adv_ref[:, :num_drop], 1e-5))
+        # the kept block's topk ORDER is tie-fragile (near-equal f32
+        # saliencies sort differently across frameworks) — compare SETS,
+        # like the SaliencyDrop survivor-set check above
+        for b in range(B):
+            want = {tuple(np.round(p, 5)) for p in del_ref[b]}
+            got = {tuple(np.round(p, 5)) for p in del_pc[b]}
+            assert got == want, f"batch {b}: {len(got & want)} common"
