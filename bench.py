@@ -10,9 +10,11 @@ Pallas geometry backend active.
 
 Secondary metrics in "extra":
   - mfu: model-FLOPs utilization of the flagship attack program —
-    XLA-reported FLOPs (``compiled.cost_analysis()['flops']``) divided
-    by wall-clock x chip peak (bf16). The reference publishes no FLOPs
-    accounting at all (SURVEY.md §6); this defines the perf record.
+    XLA-reported FLOPs of the attack's ACTUAL per-iteration scan body
+    (hit_adv.make_inner_iter, traced on the XLA geometry backend) x
+    iteration count + stage-1/2 setup, divided by wall-clock x chip
+    peak (bf16). The reference publishes no FLOPs accounting at all
+    (SURVEY.md §6); this defines the perf record.
   - dgcnn_examples_per_sec: HiT-ADV against DGCNN, the *hardest* victim
     (gather/scatter-bound EdgeConv bwd), so the bench sees the hard case
     and not just PointNet's best case.
@@ -87,33 +89,45 @@ def _bench_hit_adv(jax, jnp, victim="pointnet", B=64, N=1024, bf16=True,
 
     # Model-FLOPs for MFU: XLA's cost_analysis counts a lax.scan body
     # ONCE (no trip-count multiplication), so analyzing the full attack
-    # program reports ~1 iteration's FLOPs. Instead analyze a one-
-    # iteration grad program (victim fwd+bwd + the attack's distance
-    # losses — the standard "model FLOPs" convention) and multiply by
-    # the iteration count.
+    # program reports ~1 iteration's FLOPs. Instead cost-analyze the
+    # attack's ACTUAL per-iteration scan body (hit_adv.make_inner_iter:
+    # Gaussian-blend deform + victim fwd/bwd + the 3x3 chamfer quirk +
+    # ker/hide losses + Adam + bookkeeping) and multiply by the
+    # iteration count, plus the one-time stage-1/2 setup. The trace
+    # runs on the XLA geometry backend: cost_analysis() reports 0 FLOPs
+    # for Pallas custom calls, and the XLA path also counts one-hot
+    # MXU *movement* matmuls as the gathers they implement (honest
+    # model-FLOPs, not inflated by the data-movement trick).
     flops = None
     if want_flops:
-        from hitadv_tpu.losses import chamfer_dist
+        from hitadv_tpu.attacks.base import BestState, adam_init
         from hitadv_tpu.ops import geometry as _G
 
-        ori = jnp.asarray(pts)[..., :3]
-
-        def one_iter_loss(adv):
-            logits = logits_fn(adv)
-            return (jnp.mean(adv_fn(logits, labels))
-                    + jnp.mean(chamfer_dist(adv, ori)))
-
-        # trace the FLOPs-reference program on the XLA backend:
-        # cost_analysis() reports 0 FLOPs for Pallas custom calls, so
-        # the fused-kernel path under-counts (the math is identical)
         _G.set_backend("xla")
         try:
-            step_flops = _program_flops(jax, jax.grad(one_iter_loss),
-                                        ori)
+            ori, cps, cks = jax.jit(
+                lambda p, l: hit_adv.prepare_centrals(logits_fn, cfg,
+                                                      p, l))(pts, labels)
+            inner = hit_adv.make_inner_iter(logits_fn, adv_fn, cfg,
+                                            ori, labels, cps, cks)
+            pert0 = jnp.zeros((B, cfg.central_num, 3), ori.dtype)
+            delta0 = jnp.full((B, cfg.central_num), cfg.min_sigm,
+                              ori.dtype)
+            carry0 = (pert0, delta0, adam_init(pert0),
+                      adam_init(delta0),
+                      jnp.full((B,), cfg.init_weight),
+                      BestState.init(ori), BestState.init(ori),
+                      jnp.zeros_like(ori))
+            step_flops = _program_flops(
+                jax, lambda c: inner(c, None)[0], carry0)
+            setup_flops = _program_flops(
+                jax, lambda p, l: hit_adv.prepare_centrals(
+                    logits_fn, cfg, p, l), pts, labels) or 0.0
         finally:
             _G.set_backend("auto")
         if step_flops:
-            flops = step_flops * cfg.binary_step * cfg.num_iter
+            flops = (step_flops * cfg.binary_step * cfg.num_iter
+                     + setup_flops)
 
     res = attack(pts, labels, jax.random.PRNGKey(0))   # compile
     np.asarray(res.adv_points)
@@ -213,7 +227,8 @@ def main() -> None:
     _enable_compile_cache(jax)
 
     hit = _bench_hit_adv(jax, jnp, want_flops=True)
-    dgc = _bench_hit_adv(jax, jnp, victim="dgcnn", B=16)
+    dgc = _bench_hit_adv(jax, jnp, victim="dgcnn", B=16,
+                         want_flops=True)
     cw_iters = _bench_cw_iters(jax, jnp)
 
     baseline = None
@@ -237,6 +252,8 @@ def main() -> None:
     if "mfu" in hit:
         extra["mfu"] = round(hit["mfu"], 4)
         extra["attack_tflops"] = round(hit["flops"] / 1e12, 2)
+    if "mfu" in dgc:
+        extra["dgcnn_mfu"] = round(dgc["mfu"], 4)
 
     print(json.dumps({
         "metric": "hitadv_attack_examples_per_sec_B64_N1024_pointnet",
