@@ -101,10 +101,11 @@ def device_put_batches(batches: Iterable, mesh=None,
     if mesh is None:
         yield from batches
         return
-    import jax
     from hitadv_tpu.parallel import batch_sharding
+    from hitadv_tpu.parallel.mesh import put_batch
 
     sharding = batch_sharding(mesh, axis_name)
     for pts, labels in batches:
-        yield (jax.device_put(pts, sharding),
-               jax.device_put(labels, sharding))
+        # put_batch handles both single-process meshes and multi-host
+        # (DCN) meshes, where each host's loader yields its local shard
+        yield (put_batch(pts, sharding), put_batch(labels, sharding))

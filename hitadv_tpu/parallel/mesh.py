@@ -37,6 +37,22 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_batch(x, sharding: NamedSharding):
+    """Place a host batch under ``sharding`` — single- or multi-host.
+
+    Single-process: a plain ``device_put``. Under ``jax.distributed``
+    (multi-host pods, DCN-spanning meshes): ``x`` is this process's
+    HOST-LOCAL shard of the global batch (the per-host input-pipeline
+    contract, SURVEY.md §2.8/§5) and the global array is assembled via
+    ``make_array_from_process_local_data`` — each host feeds only its
+    addressable devices; no cross-host data movement happens here.
+    """
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(x))
+    return jax.device_put(x, sharding)
+
+
 def shard_attack(attack_fn: Callable, mesh: Mesh,
                  axis_name: str = "dp") -> Callable:
     """Wrap an attack so inputs are batch-sharded over ``mesh``.
@@ -45,15 +61,20 @@ def shard_attack(attack_fn: Callable, mesh: Mesh,
     closed over inside ``attack_fn`` and get replicated by jit; the
     returned AttackResult arrays stay batch-sharded (gather happens only
     if the caller pulls them to host).
+
+    Works unchanged on a multi-host (DCN-spanning) mesh: pass each
+    process its host-local batch shard (see `put_batch`); metric
+    reductions over the sharded outputs lower to global collectives.
     """
     in_shard = batch_sharding(mesh, axis_name)
     repl = replicate(mesh)
 
     def wrapped(points, labels, key=None):
-        points = jax.device_put(points, in_shard)
-        labels = jax.device_put(labels, in_shard)
+        points = put_batch(points, in_shard)
+        labels = put_batch(labels, in_shard)
         if key is not None:
-            key = jax.device_put(key, repl)
+            # replicated: every host supplies the identical full value
+            key = put_batch(key, repl)
         return attack_fn(points, labels, key)
 
     return wrapped
