@@ -1,22 +1,27 @@
-"""Unsaturated ASR regression band (VERDICT.md Weak #3).
+"""Unsaturated ASR regression band (VERDICT.md r1 Weak #3, r2 Weak #3).
 
 Round 1's cross-victim ASR table saturated at 1.000 everywhere — a
 metric that cannot detect parity regressions. This test pins a
 deliberately HARD configuration where HiT-ADV lands mid-band: a
-10-class synthetic victim trained on-device (train-mode BN) to ~0.75
-clean accuracy, attacked at budget 0.2 with a truncated 3x20 schedule.
+10-class synthetic victim at ~0.72 clean accuracy, attacked at
+budget 0.2 with a truncated 3x20 schedule.
 
-Measured in the suite environment (8-virtual-device CPU mesh — the
-device count changes XLA CPU scheduling enough that 12 epochs of
-training drift to a slightly different victim than a 1-device run):
-ASR = 0.4815 (26/54 clean-correct flipped). Everything is seeded and
-the whole attack is one XLA program, so the value is deterministic in
-this environment; the band below allows ±0.075 (≈ ±4 examples) for
-cross-version float drift. A regression in the margin-loss masks,
-best-state bookkeeping, binary-search coupling, or the deformation
-math moves ASR far outside the band (e.g. round 2's two HiT-ADV
-loss-shape fixes each moved it by >0.1).
+The victim params are COMMITTED (`tests/data/asr_victim_params.pkl`,
+trained once via `train_victim(epochs=12, batch_size=16)` on the
+suite mesh and frozen) so the band tests attack semantics only — not
+attack + training + XLA CPU scheduler, which r2's VERDICT flagged as
+environment-coupled (device count changed the trained victim enough
+to drift ASR). With the pinned victim the attack is one seeded XLA
+program; measured ASR = 0.52174 (24/46) IDENTICAL on a 1-device and
+an 8-device CPU mesh. The band allows ±2 examples of cross-version
+float drift (vs ±4 before). `train_victim` itself keeps a separate
+band-free smoke in tests/test_train_bn.py / test_data_and_drivers.py. A regression in the margin-loss masks, best-state
+bookkeeping, binary-search coupling, or the deformation math moves
+ASR far outside the band (e.g. round 2's two HiT-ADV loss-shape
+fixes each moved it by >0.1).
 """
+
+import os
 
 import numpy as np
 import jax
@@ -26,19 +31,18 @@ import pytest
 from hitadv_tpu import models
 from hitadv_tpu.attacks import base, hit_adv
 from hitadv_tpu.data import synthetic_clouds
-from hitadv_tpu.train import train_victim
+from hitadv_tpu.utils import checkpoint as ckpt
 
-EXPECTED_ASR = 0.4815
-BAND = 0.075
+PARAMS_PKL = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "data", "asr_victim_params.pkl")
+EXPECTED_ASR = 0.5217   # 24/46 clean-correct flipped
+BAND = 0.045            # ±2 examples
 
 
 @pytest.fixture(scope="module")
 def trained_victim():
-    init, apply = models.get_model("pointnet")
-    pts, labels = synthetic_clouds(128, 64, num_classes=10, seed=1)
-    params = train_victim(init, apply, pts[..., :3], labels,
-                          jax.random.PRNGKey(0), epochs=12,
-                          batch_size=16)
+    _, apply = models.get_model("pointnet")
+    params = ckpt.load_params(PARAMS_PKL)
     return lambda x: apply(params, x)
 
 
