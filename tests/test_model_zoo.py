@@ -157,8 +157,14 @@ class TestParity:
         with torch.no_grad():
             want = m(torch.from_numpy(np.swapaxes(x, 1, 2).copy()))
         got = pct.apply(params, jnp.array(x))
+        # r2 shipped with atol=3e-3; a stage-by-stage bisection (r3)
+        # showed the only large intermediate divergence is the grouped
+        # neighbor ORDER inside sample_and_group (kNN tie/sort order,
+        # erased by the Local_op max-pool) — actual logit divergence is
+        # ~2e-7, same class as the rest of the zoo. The old tolerance
+        # was stale, not hiding numerics: tightened 10x.
         np.testing.assert_allclose(np.asarray(got), want.numpy(),
-                                   atol=3e-3)
+                                   atol=3e-4)
 
     def test_pointconv(self, rng):
         import torch
