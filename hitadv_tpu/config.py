@@ -93,6 +93,17 @@ class EvalConfig:
     n_devices: Optional[int] = None    # mesh size (None = all)
     synthetic_size: int = 64           # items when dataset == synthetic
 
+    # CW-Perturb distance override + sequence-parallel scaling axis.
+    # dist_func: None/"l2" = reference L2Dist (`eval.py` CWPerturb
+    # choice); "chamfer" = set distance, which at large N is the term
+    # that materializes [B, N, N] — with sp_devices > 1 it rides
+    # `parallel.ring.ring_chamfer` over a points-sharded mesh (ICI
+    # ppermute ring; per-device blocks [B, N/D, N/D]; SURVEY.md §5
+    # long-context prescription). Mutually exclusive with n_devices
+    # batch sharding (one mesh per attack program).
+    dist_func: Optional[str] = None
+    sp_devices: int = 0
+
 
 def add_config_flags(parser: argparse.ArgumentParser,
                      cfg_cls=EvalConfig) -> None:

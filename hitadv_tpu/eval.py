@@ -102,14 +102,31 @@ def build_attack(cfg: EvalConfig, logits_fn: Callable,
     if name == "ifgm-l2":
         return xyz_only(attacks.make_ifgm_l2(logits_fn, ce, fgm_cfg))
 
+    def _cw_dist_fn():
+        """CW-Perturb distance: reference L2 by default; `--dist_func
+        chamfer` switches to the set distance, and `--sp_devices D`
+        shards the points axis over a D-device mesh so the [B, N, N]
+        term never materializes (ring-chamfer, `parallel/ring.py`) —
+        the large-N scaling configuration (SURVEY.md §5)."""
+        if cfg.dist_func in (None, "l2"):
+            return None
+        if cfg.dist_func != "chamfer":
+            raise ValueError(f"dist_func {cfg.dist_func!r}")
+        if cfg.sp_devices and cfg.sp_devices > 1:
+            from hitadv_tpu.parallel import make_mesh, ring_chamfer
+
+            sp_mesh = make_mesh(cfg.sp_devices, axis_name="sp")
+            return lambda adv, ori: ring_chamfer(adv, ori, sp_mesh)
+        return losses.chamfer_dist
+
     if name in ("cw-perturb", "cw-perturbt"):
         tc = attacks.CWConfig(**{**cw_cfg.__dict__, "targeted": True})
-        return xyz_only(attacks.make_cw_perturb(logits_fn,
-                                                targeted_margin, cfg=tc))
+        return xyz_only(attacks.make_cw_perturb(
+            logits_fn, targeted_margin, dist_fn=_cw_dist_fn(), cfg=tc))
     if name == "cw-uperturb":
         uc = attacks.CWConfig(**{**cw_cfg.__dict__, "targeted": False})
         return xyz_only(attacks.make_cw_perturb(
-            logits_fn, untargeted_margin, cfg=uc))
+            logits_fn, untargeted_margin, dist_fn=_cw_dist_fn(), cfg=uc))
     if name == "cw-lpips":
         # CWPerturb with the LPIPS perceptual distance on the PointNet
         # feature stack (`util/dist_utils.py:412-461` + feature model)

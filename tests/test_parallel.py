@@ -198,3 +198,37 @@ class TestShardedPallasPaths:
             G.set_backend("auto")
         assert adv.shape == (16, 192, 3)
         assert np.isfinite(adv).all()
+
+
+class TestRingWiredAttack:
+    """`--dist_func chamfer --sp_devices D`: the large-N CW-Perturb
+    configuration rides `ring_chamfer` inside the attack's
+    differentiated loss (SURVEY.md §5 long-context; VERDICT r2 item 8).
+    The ring program must reproduce the dense-chamfer attack exactly —
+    same trajectory, same best-state bookkeeping."""
+
+    def test_cw_perturb_ring_matches_dense(self):
+        from hitadv_tpu.config import EvalConfig
+        from hitadv_tpu.eval import build_attack, build_model
+
+        B, N = 4, 256          # N divisible by the 8-device mesh
+        base_kw = dict(model="pointnet", attack_type="CW-Perturb",
+                       dist_func="chamfer", binary_step=2, num_iter=5,
+                       num_point=N)
+        cfg_dense = EvalConfig(**base_kw)
+        cfg_ring = EvalConfig(**base_kw, sp_devices=8)
+
+        params, logits_fn = build_model(cfg_dense)
+        pts, labels = synthetic_clouds(B, num_points=N, seed=3)
+        pts, labels = jnp.asarray(pts), jnp.asarray(labels)
+
+        dense = build_attack(cfg_dense, logits_fn)(
+            pts, labels, jax.random.PRNGKey(0))
+        ring = build_attack(cfg_ring, logits_fn)(
+            pts, labels, jax.random.PRNGKey(0))
+
+        np.testing.assert_allclose(np.asarray(ring.adv_points),
+                                   np.asarray(dense.adv_points),
+                                   atol=2e-6)
+        np.testing.assert_array_equal(np.asarray(ring.pred),
+                                      np.asarray(dense.pred))
