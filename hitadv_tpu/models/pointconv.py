@@ -125,17 +125,26 @@ def _stage_apply(p, stage: PCStage, xyz, points):
         with jax.named_scope("pc_knn"):
             idx = G.knn_point(stage.nsample, xyz, new_xyz)
         with jax.named_scope("pc_group"):
-            # xyz and inv_density share idx: ONE f32 gather (and one
-            # scatter in the VJP) for both — the separate C=3 and C=1
-            # gathers each cost a full one-hot sweep (profiled
-            # 0.5 ms fwd + 0.77 ms bwd per gather)
-            aug = jnp.concatenate([xyz, inv_density[..., None]],
-                                  axis=-1)                    # [B, N, 4]
-            grouped_aug = G.index_points(aug, idx)            # [B,S,ns,4]
+            # xyz, inv_density and (dtype permitting) the stage
+            # features all share idx: ONE gather (and one scatter in
+            # the VJP) for the whole concat — each separate one-hot
+            # sweep carries a fixed one-hot-build + scatter-pass cost
+            # (profiled 0.5 ms fwd + 0.77 ms bwd per gather). In bf16
+            # mode the features stay a separate bf16 sweep: the f32
+            # gather rides an exact 3-plane bf16 split (3x the lane
+            # width), so promoting D wide channels to f32 would cost
+            # more than the fixed sweep it saves.
+            cols = [xyz, inv_density[..., None]]
+            merge_points = points.dtype == xyz.dtype
+            if merge_points:
+                cols.append(points)
+            aug = jnp.concatenate(cols, axis=-1)              # [B,N,4(+D)]
+            grouped_aug = G.index_points(aug, idx)          # [B,S,ns,4(+D)]
             grouped_xyz = (grouped_aug[..., :3]
                            - new_xyz[:, :, None, :])          # [B,S,ns,3]
             grouped_density = grouped_aug[..., 3]             # [B,S,ns]
-            grouped_points = G.index_points(points, idx)
+            grouped_points = (grouped_aug[..., 4:] if merge_points
+                              else G.index_points(points, idx))
             new_points = jnp.concatenate([grouped_xyz, grouped_points],
                                          axis=-1)
         S = stage.npoint

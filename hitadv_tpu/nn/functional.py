@@ -250,7 +250,7 @@ def linear_bn_max(lin: Params, bn: Params, x: jnp.ndarray,
     global-max-pool bottleneck (PointNet conv3/bn3 + torch.max,
     `model/pointnet_utils.py:47-55`).
 
-    In eval-mode bf16 on TPU this dispatches to a fused Pallas pair
+    In eval mode on TPU this dispatches to a fused Pallas pair
     that never materializes the [B, N, C] activation: the forward
     keeps a running (max, argmax-row) in VMEM; the backward routes the
     cotangent through the single argmax row per (b, c) — profiled, the
@@ -260,17 +260,25 @@ def linear_bn_max(lin: Params, bn: Params, x: jnp.ndarray,
     row (torch.max first-argmax; jnp.max autodiff instead SPLITS the
     cotangent among ties — measure-zero for continuous activations).
 
+    The fused path covers BOTH compute dtypes: bf16, and f32 parity
+    mode — on TPU the MXU rounds f32 matmul operands to bf16 at
+    DEFAULT precision anyway (the unfused `jnp.matmul` does exactly
+    that), so the in-kernel DEFAULT-precision dot reproduces the
+    unfused f32 path's numerics while eliminating the 2x-wider HBM
+    streaming that made parity mode 4x slower than bf16 mode.
+
     Everywhere else: the plain composition.
     """
     from hitadv_tpu.ops.geometry import _pallas_active
 
-    if (not bn_is_training()) and x.dtype == jnp.bfloat16 \
-            and _pallas_active() and x.shape[1] >= 16:
+    if (not bn_is_training()) and _pallas_active() \
+            and x.dtype in (jnp.bfloat16, jnp.float32) \
+            and x.shape[1] >= 16:
         s = bn["scale"] * jax.lax.rsqrt(bn["var"] + eps)
         b = bn["bias"] - bn["mean"] * s
         if "b" in lin:
             b = b + lin["b"] * s
-        w = (lin["w"] * s[None]).astype(jnp.bfloat16)
+        w = (lin["w"] * s[None]).astype(x.dtype)
         return _max_linear_fused(x, w, b.astype(jnp.float32))
     return jnp.max(linear_bn(lin, bn, x, eps), axis=1)
 
@@ -314,6 +322,16 @@ def _max_linear_bwd(res, g):
 
 
 _max_linear_fused.defvjp(_max_linear_fwd, _max_linear_bwd)
+
+
+# A fused linear+leaky+global-(max,mean) pair (DGCNN's conv5 block,
+# `model/dgcnn_cls.py:100-106`) was built, verified, and REJECTED in
+# round 3: at the DGCNN attack shape ([16, 1024, 512]@[512, emb]) the
+# block is MXU-compute-bound, XLA already fuses the epilogue, and the
+# Pallas pair measured 4% SLOWER op-level (0.876 vs 0.841 ms fwd+bwd)
+# and ~1% slower end-to-end (10.66 vs 10.54 ms/iter) — the [B, N, C]
+# HBM round trip it removes is not the bottleneck there, unlike the
+# conv3 global-max bottleneck above. See RESULTS.md.
 
 
 # ---------------------------------------------------------------------------
