@@ -1076,21 +1076,36 @@ def _maxlin_fwd_kernel(h_ref, w_ref, mx_ref, row_ref, *,
     TN = h.shape[0]
     C = w_ref.shape[1]
 
-    # C is processed in <= 128-lane chunks: the fold's SUBLANE slices
-    # crash Mosaic's extract_strided_slice on multi-lane-tile vectors
-    # ("Check failed: limits[i] <= dim(i)" in ApplyVectorLayout —
-    # probed: C <= 128 compiles, C >= 256 SIGABRTs). Lane-dim slices
-    # of wide arrays are fine (the hi|lo scatter kernel relies on
-    # them), so each chunk folds single-tile and the results concat.
+    # ONE full-width dot: [TN, K] @ [K, C] in a single MXU pass —
+    # chunking the dot into 8 [TN, K] @ [K, 128] pieces measured 2.8x
+    # off the MXU floor (roofline_maxlin.py: 36% vs the dh kernel's
+    # 82%); small dots pay pipeline fill + serialize with the folds.
+    z_all = jax.lax.dot_general(
+        h, w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # [TN, C]
+
+    # Only the FOLD is processed in <= 128-lane chunks: its SUBLANE
+    # slices crash Mosaic's extract_strided_slice on multi-lane-tile
+    # vectors ("Check failed: limits[i] <= dim(i)" in
+    # ApplyVectorLayout — probed: C <= 128 compiles, C >= 256
+    # SIGABRTs). Lane-dim slices of the wide z_all are fine (the
+    # hi|lo scatter kernel relies on them), so each chunk folds
+    # single-tile and the results concat.
+    #
+    # (A max-only fold + equality-pass argmax recovery was probed and
+    # measured the same: the kernel is DOT-bound, not fold-bound —
+    # the [TN, 128] @ [128, C] contraction runs at ~83 TF/s for XLA
+    # and Pallas alike, the hardware's short-K pipeline-fill penalty.
+    # See RESULTS.md roofline note.)
+    has_pad = (n_valid % tile_n) != 0                        # last tile
     vs, ids = [], []
     for c0 in range(0, C, 128):
         cw = min(128, C - c0)
-        z = jax.lax.dot_general(
-            h, w_ref[:, c0:c0 + cw], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # [TN, cw]
+        z = z_all[:, c0:c0 + cw]                             # [TN, cw]
         ridx = (lax.broadcasted_iota(jnp.int32, (TN, cw), 0)
                 + t * tile_n)                                # global rows
-        z = jnp.where(ridx < n_valid, z, _NEG_INF)           # pad rows
+        if has_pad:
+            z = jnp.where(ridx < n_valid, z, _NEG_INF)       # pad rows
 
         # fold TN -> 8 sublanes (TN a power of two, enforced by the
         # wrapper), carrying the source-row plane; ties keep the
@@ -1126,9 +1141,12 @@ def max_linear_pallas(h: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     axis 1 (8 rows — trivial on the XLA side)."""
     B, N, K = h.shape
     C = w.shape[1]
-    # the in-kernel fold needs a power-of-two tile >= 16
+    # the in-kernel fold needs a power-of-two tile >= 16. Cap 1024:
+    # at the flagship shape one [1024, K] program per batch halves the
+    # per-program overhead (DMA + pipeline fill dominate: 128 programs
+    # of 2 us measured vs an 0.7 us MXU floor per program).
     tile_n = 16
-    while tile_n < min(512, N):
+    while tile_n < min(1024, N):
         tile_n *= 2
     pad_n = (-N) % tile_n
     if pad_n:

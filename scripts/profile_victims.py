@@ -22,7 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 import numpy as np
 
 
-def _top_ops(trace_dir: str, top: int = 18):
+def _top_ops(trace_dir: str, top: int = None):
+    top = top or int(os.environ.get("PROF_TOP", "18"))
     from xprof.convert import raw_to_tool_data as r2t
 
     xplanes = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
@@ -61,7 +62,8 @@ def main():
 
     victims = sys.argv[1:] or ["dgcnn", "pointconv"]
     nnF.set_compute_dtype(jnp.bfloat16)
-    B, N = 16, 1024
+    B = int(os.environ.get("PROF_B", "16"))
+    N = int(os.environ.get("PROF_N", "1024"))
     cfg = hit_adv.HiTADVConfig(binary_step=1, num_iter=25)
     adv_fn = base.make_adv_fn("logits", kappa=30.0, targeted=False)
     pts, labels = synthetic_clouds(B, num_points=N, seed=0)

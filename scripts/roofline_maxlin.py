@@ -1,0 +1,147 @@
+"""Roofline the fused max_linear Pallas pair at the flagship shape.
+
+VERDICT round-2 Weak #5 asked the "max_linear near MXU floor" claim to
+be substantiated or retired with numbers. This probe measures, with a
+LICM-proof in-jit scan at iters large enough to drown the ~30 ms
+tunnel round trip (CLAUDE.md timing rules):
+
+  * pure dot  [B*N, K] @ [K, C]    — the XLA MXU reference at the shape
+  * fused fwd                      — max_linear_pallas + combine
+  * fused fwd+bwd                  — the attack-path program
+  * unfused fwd+bwd                — XLA linear_bn + jnp.max for scale
+
+and reports analytic FLOPs / HBM bytes and the % of v5e peak
+(197 TFLOP/s bf16, 819 GB/s HBM) each achieves.
+
+Run on the real chip:  python -u scripts/roofline_maxlin.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+PEAK_TF = 197e12          # v5e bf16 MXU
+PEAK_BW = 819e9           # v5e HBM
+
+
+def _time_scan(jax, step, init, iters=400):
+    """ms per step; carry is consumed by the body (no LICM hoist).
+
+    Returns a SCALAR from the jitted program: pulling a [B, N, K]
+    array through the relay tunnel can cost ~1 s (measured 17 MB/s on
+    a congested tunnel), which swamps the device time being measured.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def run(x):
+        out, _ = lax.scan(lambda c, _: (step(c), None), x, None,
+                          length=iters)
+        return jnp.sum(out.astype(jnp.float32))
+
+    float(run(init))                                 # compile
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run(init))
+        best = min(best, time.perf_counter() - t0)
+    return best / iters * 1e3
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from hitadv_tpu.nn import functional as F
+    from hitadv_tpu.ops import geometry as G
+
+    B, N, K, C = 64, 1024, 128, 1024          # flagship conv3 shape
+    key = jax.random.PRNGKey(0)
+    lin = F.conv1x1_init(key, K, C, bias=True)
+    bn = F.batchnorm_init(C)
+    bn = {**bn,
+          "mean": jax.random.normal(key, (C,)) * 0.1,
+          "var": jnp.abs(jax.random.normal(key, (C,))) + 0.5}
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, N, K),
+                          jnp.float32).astype(jnp.bfloat16)
+    w = jnp.asarray(lin["w"], jnp.bfloat16)
+
+    gf_fwd = 2 * B * N * K * C / 1e9          # one MXU pass
+    gb_x = B * N * K * 2 / 1e9                # bf16 read of h
+
+    rows = []
+
+    def report(name, ms, gflop, gbyte):
+        # GFLOP/ms == TFLOP/s; GB/ms == TB/s
+        rows.append((name, ms, gflop, gbyte,
+                     (gflop / ms) / (PEAK_TF / 1e12) * 100,
+                     (gbyte / ms * 1e3) / (PEAK_BW / 1e9) * 100))
+
+    # 1. MXU calibration: a big square bf16 matmul (high arithmetic
+    # intensity, bf16 in AND out so no wide intermediate pollutes the
+    # measurement) — what "achievable peak" means on this chip today.
+    M = 4096
+    wsq = jax.random.normal(jax.random.PRNGKey(2), (M, M),
+                            jnp.float32).astype(jnp.bfloat16) / M
+    csq = jax.random.normal(jax.random.PRNGKey(3), (M, M),
+                            jnp.float32).astype(jnp.bfloat16)
+
+    def calib_step(c):
+        return (jnp.matmul(c, wsq) * 1e-3 + c).astype(c.dtype)
+
+    report(f"calib {M}^3 matmul (XLA)",
+           _time_scan(jax, calib_step, csq),
+           2 * M**3 / 1e9, 3 * M * M * 2 / 1e9)
+
+    def fwd(xx, backend):
+        G.set_backend(backend)
+        try:
+            return F.linear_bn_max(lin, bn, xx)
+        finally:
+            G.set_backend("auto")
+
+    # 2. fused forward only
+    def fwd_step(c):
+        y = fwd(c, "pallas")                  # [B, C]
+        return c + y[:, :K][:, None, :].astype(c.dtype) * 1e-6
+
+    report("fused fwd", _time_scan(jax, fwd_step, x),
+           gf_fwd, gb_x + B * 8 * C * 8 / 1e9)
+
+    # 3/4. fwd+bwd through each backend (the attack-path program)
+    for name, backend in (("fused fwd+bwd", "pallas"),
+                          ("unfused fwd+bwd (XLA)", "xla")):
+        def step(c, backend=backend):
+            g = jax.grad(lambda t: jnp.sum(
+                jnp.tanh(fwd(t, backend).astype(jnp.float32))))(c)
+            return c - 1e-3 * g
+
+        ms = _time_scan(jax, step, x)
+        if backend == "pallas":
+            # bwd dh kernel is a second full-rate MXU pass ([TN,C]
+            # masked-g @ w.T) + a [B,N,K] bf16 write
+            report(name, ms, 2 * gf_fwd, 2 * gb_x + B * 8 * C * 8 / 1e9)
+        else:
+            # XLA streams the [B,N,C] activation out and back
+            report(name, ms, 2 * gf_fwd,
+                   2 * gb_x + 2 * B * N * C * 2 / 1e9)
+
+    print(f"\nshape: h[{B},{N},{K}] @ w[{K},{C}] bf16 "
+          f"(flagship conv3 / STN heads)")
+    print(f"{'program':24s} {'ms':>7s} {'GFLOP':>7s} {'GB':>6s} "
+          f"{'%MXU':>6s} {'%HBM':>6s}")
+    for name, ms, gflop, gbyte, pmxu, pbw in rows:
+        print(f"{name:24s} {ms:7.3f} {gflop:7.1f} {gbyte:6.3f} "
+              f"{pmxu:6.1f} {pbw:6.1f}")
+
+
+if __name__ == "__main__":
+    main()
