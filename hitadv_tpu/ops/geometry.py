@@ -479,6 +479,18 @@ def query_ball_point(radius: float, nsample: int, xyz: jnp.ndarray,
     _check_cloud(new_xyz, "query_ball_point:new_xyz")
     B, N, _ = xyz.shape
     S = new_xyz.shape[1]
+    if _pallas_active():
+        # masked min-extraction kernel: same first-nsample-by-index
+        # semantics, no [B, S, N] sort (the sort was 1.44 ms/iter of
+        # PointNet++'s 7.4 under attack, plus ~0.5 ms of layout
+        # copies and the materialized iota around it). Indices carry
+        # no gradient — stop_gradient cuts the pallas_call out of the
+        # autodiff graph (it has no JVP rule; same treatment as the
+        # kNN index dispatch).
+        from hitadv_tpu.ops import pallas_kernels as PK
+        return PK.ball_query_pallas(radius, nsample,
+                                    lax.stop_gradient(xyz),
+                                    lax.stop_gradient(new_xyz))
     sqrdists = square_distance(new_xyz, xyz)                  # [B, S, N]
     arange = lax.broadcasted_iota(jnp.int32, (B, S, N), 2)
     group_idx = jnp.where(sqrdists > radius ** 2, N, arange)

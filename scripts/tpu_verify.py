@@ -97,6 +97,39 @@ def main():
     check("dgcnn f32 fwd+bwd vs xla backend", rel < 1e-4 and gd < 1e-3,
           f"rel={rel:.1e} graddiff={gd:.1e}")
 
+    # ---- ball query + PointNet++ (the sort-free Pallas kernel) ----
+    xyzb = jnp.asarray(rng.uniform(size=(4, 512, 3)), jnp.float32)
+    newb = xyzb[:, :128]
+    bq = {}
+    for be in ("pallas", "xla"):
+        set_backend(be)
+        bq[be] = np.asarray(jax.jit(
+            lambda x, n: ops.query_ball_point(0.2, 32, x, n))(xyzb, newb))
+    set_backend("auto")
+    frac = np.mean(bq["pallas"] != bq["xla"])
+    # rim ties (|d^2-r^2| ~ 2e-7) are implementation-defined; anything
+    # beyond a stray flip means a real kernel bug
+    check("ball_query pallas vs xla", frac < 1e-3, f"mismatch={frac:.2e}")
+
+    from hitadv_tpu.models import pointnet2
+    p2 = pointnet2.init(jax.random.PRNGKey(2), num_classes=40)
+    x2 = jnp.asarray(rng.uniform(size=(2, 256, 3)), jnp.float32)
+
+    def p2_loss(x):
+        return jnp.sum(pointnet2.apply(p2, x) ** 2)
+
+    res = {}
+    for be in ("pallas", "xla"):
+        set_backend(be)
+        v, g = jax.jit(jax.value_and_grad(p2_loss))(x2)
+        res[be] = (float(v), np.asarray(g))
+    set_backend("auto")
+    rel = abs(res["pallas"][0] - res["xla"][0]) / (abs(res["xla"][0]) + 1e-9)
+    gd = (np.max(np.abs(res["pallas"][1] - res["xla"][1]))
+          / (np.max(np.abs(res["xla"][1])) + 1e-9))
+    check("pointnet++ fwd+bwd vs xla backend", rel < 1e-3 and gd < 1e-2,
+          f"rel={rel:.1e} graddiff={gd:.1e}")
+
     # ---- PointConv (kde + FPS), incl. the B=1 degenerate cloud ----
     from hitadv_tpu.models import pointconv
     pcp = pointconv.init(jax.random.PRNGKey(1), num_classes=40)

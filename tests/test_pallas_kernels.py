@@ -62,6 +62,43 @@ class TestKNNPallas:
                                    atol=1e-4)
 
 
+class TestBallQueryPallas:
+    @pytest.mark.parametrize("B,N,S,ns,r", [
+        (2, 256, 128, 32, 0.2),
+        (1, 333, 77, 16, 0.4),       # ragged sizes (lane/tile padding)
+        (3, 128, 8, 64, 0.1),        # sparse balls -> pad-with-first
+        (2, 64, 16, 8, 3.0),         # everything in-ball
+        (1, 200, 50, 24, 1e-3),      # mostly-empty balls -> clamp path
+    ])
+    def test_matches_xla_bitwise(self, rng, B, N, S, ns, r):
+        xyz = jnp.array(rng.rand(B, N, 3).astype(np.float32))
+        new = jnp.array(rng.rand(B, S, 3).astype(np.float32))
+        # exact self-centers exercise the d=0 rim case
+        new = new.at[:, :4].set(xyz[:, :4])
+        G.set_backend("xla")
+        try:
+            ref = np.asarray(G.query_ball_point(r, ns, xyz, new))
+        finally:
+            G.set_backend("auto")
+        got = np.asarray(PK.ball_query_pallas(r, ns, xyz, new))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_dispatch(self, rng):
+        xyz = jnp.array(rng.rand(1, 96, 3).astype(np.float32))
+        new = xyz[:, :24]
+        G.set_backend("pallas")
+        try:
+            a = np.asarray(G.query_ball_point(0.25, 12, xyz, new))
+        finally:
+            G.set_backend("auto")
+        G.set_backend("xla")
+        try:
+            b = np.asarray(G.query_ball_point(0.25, 12, xyz, new))
+        finally:
+            G.set_backend("auto")
+        np.testing.assert_array_equal(a, b)
+
+
 class TestFPSPallas:
     @pytest.mark.parametrize("B,N,npoint", [(2, 128, 32), (1, 200, 64),
                                             (4, 96, 96)])
