@@ -43,12 +43,14 @@ def _top_ops(trace_dir: str, top: int = None):
     rows.sort(key=lambda r: -(g(r, "total_self_time") or 0))
     total = sum(g(r, "total_self_time") or 0 for r in rows)
     print(f"  total device self time {total / 1e3:.1f} ms")
+    has_tf = "tf_op_name" in cols
     for r in rows[:top]:
         t = g(r, "total_self_time") or 0
+        scope = str(g(r, "tf_op_name"))[:48] if has_tf else ""
         print(f"  {t:9.0f}us {str(g(r, 'category'))[:22]:22s} "
               f"x{g(r, 'occurrences'):5} "
               f"{str(g(r, 'bound_by'))[:10]:10s} "
-              f"{str(g(r, 'hlo_op_name'))[:55]}")
+              f"{str(g(r, 'hlo_op_name'))[:40]:40s} {scope}")
 
 
 def main():
