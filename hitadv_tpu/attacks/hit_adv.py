@@ -184,8 +184,10 @@ def make_inner_iter(logits_fn: Callable, adv_fn: Callable,
         delta = jnp.clip(delta, cfg.min_sigm, cfg.max_sigm)
 
         def loss_fn(pert, delta):
-            tmp_adv = _deform(ori, central_points, pert, delta)
-            logits = logits_fn(tmp_adv)
+            with jax.named_scope("ha_deform"):
+                tmp_adv = _deform(ori, central_points, pert, delta)
+            with jax.named_scope("ha_victim"):
+                logits = logits_fn(tmp_adv)
             adv_loss = jnp.mean(adv_fn(logits, labels))
 
             dist_loss = 0.0
@@ -222,17 +224,19 @@ def make_inner_iter(logits_fn: Callable, adv_fn: Callable,
         g_pert, g_delta = grads
         pred = jnp.argmax(logits, axis=-1)
 
-        # bookkeeping (:195-217): dist = per-example transformation
-        dist_val = _transformation_loss(pert, delta, Cn)
-        ok = pred != labels
-        best = update_best(best, ok, dist_val, pred, tmp_adv)
-        o_best = update_best(o_best, ok, dist_val, pred, tmp_adv)
+        with jax.named_scope("ha_bookkeep"):
+            # bookkeeping (:195-217): dist = per-example transformation
+            dist_val = _transformation_loss(pert, delta, Cn)
+            ok = pred != labels
+            best = update_best(best, ok, dist_val, pred, tmp_adv)
+            o_best = update_best(o_best, ok, dist_val, pred, tmp_adv)
 
-        # two Adam groups: pert lr·5, delta lr·3 (:142-145)
-        pert, opt_p = adam_update(g_pert, opt_p, pert,
-                                  cfg.attack_lr * 5.0)
-        delta, opt_d = adam_update(g_delta, opt_d, delta,
-                                   cfg.attack_lr * 3.0)
+        with jax.named_scope("ha_adam"):
+            # two Adam groups: pert lr·5, delta lr·3 (:142-145)
+            pert, opt_p = adam_update(g_pert, opt_p, pert,
+                                      cfg.attack_lr * 5.0)
+            delta, opt_d = adam_update(g_delta, opt_d, delta,
+                                       cfg.attack_lr * 3.0)
         return (pert, delta, opt_p, opt_d, weight, best, o_best,
                 tmp_adv), ()
 
@@ -267,9 +271,10 @@ def make_hit_adv(logits_fn: Callable, adv_fn: Callable,
     def attack(points, labels, key) -> AttackResult:
         B, N = points.shape[0], points.shape[1]
         key, fps_key = jax.random.split(key)
-        ori, central_points, central_kappa_std = prepare_centrals(
-            logits_fn, cfg, points, labels,
-            fps_key=None if init_overrides is not None else fps_key)
+        with jax.named_scope("ha_prepare"):
+            ori, central_points, central_kappa_std = prepare_centrals(
+                logits_fn, cfg, points, labels,
+                fps_key=None if init_overrides is not None else fps_key)
 
         # ---- stage 3: binary search over scale_const (:125-275) -------
         inner_iter = make_inner_iter(logits_fn, adv_fn, cfg, ori,

@@ -46,14 +46,20 @@ def _sa_apply(params: Dict, cfg: SAConfig, xyz: jnp.ndarray,
               points: Optional[jnp.ndarray],
               key: Optional[jax.Array]):
     """One set-abstraction stage. xyz [B,N,3], points [B,N,D] or None."""
-    if cfg.group_all:
-        new_xyz, new_points = G.sample_and_group_all(xyz, points)
-    else:
-        new_xyz, new_points = G.sample_and_group(
-            cfg.npoint, cfg.radius, cfg.nsample, xyz, points, key=key)
+    tag = "sa_all" if cfg.group_all else f"sa{cfg.npoint}"
+    with jax.named_scope(f"{tag}_group"):
+        if cfg.group_all:
+            new_xyz, new_points = G.sample_and_group_all(xyz, points)
+        else:
+            new_xyz, new_points = G.sample_and_group(
+                cfg.npoint, cfg.radius, cfg.nsample, xyz, points,
+                key=key)
     # new_points: [B, S, ns, C+D] -> shared MLP over last dim + max over ns
-    h = F.mlp_apply(params, new_points)
-    return new_xyz, F.max_mid(h)                              # [B, S, C']
+    with jax.named_scope(f"{tag}_mlp"):
+        h = F.mlp_apply(params, new_points)
+    with jax.named_scope(f"{tag}_max"):
+        pooled = F.max_mid(h)                                 # [B, S, C']
+    return new_xyz, pooled
 
 
 def init(key: jax.Array, num_classes: int = 40,

@@ -523,15 +523,19 @@ def sample_and_group(npoint: int, radius: float, nsample: int,
       plus (grouped_xyz, fps_idx) when ``return_fps``.
     """
     B, N, C = xyz.shape
-    fps_idx = farthest_point_sample(xyz, npoint, key=key)
-    new_xyz = index_points(xyz, fps_idx)                      # [B, S, 3]
-    idx = query_ball_point(radius, nsample, xyz, new_xyz)
-    grouped_xyz = index_points(xyz, idx)                      # [B, S, ns, 3]
-    grouped_xyz_norm = grouped_xyz - new_xyz[:, :, None, :]
+    with jax.named_scope("sag_fps"):
+        fps_idx = farthest_point_sample(xyz, npoint, key=key)
+        new_xyz = index_points(xyz, fps_idx)                  # [B, S, 3]
+    with jax.named_scope("sag_ballq"):
+        idx = query_ball_point(radius, nsample, xyz, new_xyz)
+    with jax.named_scope("sag_gather_xyz"):
+        grouped_xyz = index_points(xyz, idx)                  # [B, S, ns, 3]
+        grouped_xyz_norm = grouped_xyz - new_xyz[:, :, None, :]
     if points is not None:
-        grouped_points = index_points(points, idx)
-        new_points = jnp.concatenate([grouped_xyz_norm, grouped_points],
-                                     axis=-1)
+        with jax.named_scope("sag_gather_feat"):
+            grouped_points = index_points(points, idx)
+            new_points = jnp.concatenate([grouped_xyz_norm,
+                                          grouped_points], axis=-1)
     else:
         new_points = grouped_xyz_norm
     if return_fps:
