@@ -118,20 +118,24 @@ def make_apply(cfg: DGCNNConfig = DGCNNConfig()):
         # eval mode — the attack path, where it is 1.4x faster.
         fused = not F.bn_is_training()
         for i in range(1, 5):
-            if fused:
-                h = edge_conv_fused(params[f"conv{i}"],
-                                    params[f"bn{i}"], h, cfg.k)
-            else:
-                e = get_graph_feature(h, cfg.k)               # [B,N,k,2C]
-                e = F.leaky_relu(F.linear_bn(params[f"conv{i}"], params[f"bn{i}"], e))
-                h = jnp.max(e, axis=2)                        # [B, N, C']
+            with jax.named_scope(f"dg_edge{i}"):
+                if fused:
+                    h = edge_conv_fused(params[f"conv{i}"],
+                                        params[f"bn{i}"], h, cfg.k)
+                else:
+                    e = get_graph_feature(h, cfg.k)           # [B,N,k,2C]
+                    e = F.leaky_relu(F.linear_bn(params[f"conv{i}"],
+                                                 params[f"bn{i}"], e))
+                    h = jnp.max(e, axis=2)                    # [B, N, C']
             feats.append(h)
 
-        h = jnp.concatenate(feats, axis=-1)                   # [B, N, 512]
-        h = F.leaky_relu(F.linear_bn(params["conv5"], params["bn5"], h))
-        gmax = jnp.max(h, axis=1)
-        gavg = jnp.mean(h, axis=1)
-        g = jnp.concatenate([gmax, gavg], axis=-1)            # [B, 2*emb]
+        with jax.named_scope("dg_emb"):
+            h = jnp.concatenate(feats, axis=-1)               # [B, N, 512]
+            h = F.leaky_relu(F.linear_bn(params["conv5"],
+                                         params["bn5"], h))
+            gmax = jnp.max(h, axis=1)
+            gavg = jnp.mean(h, axis=1)
+            g = jnp.concatenate([gmax, gavg], axis=-1)        # [B, 2*emb]
 
         g = F.leaky_relu(F.linear_bn(params["linear1"], params["bn6"], g))
         g = F.leaky_relu(F.linear_bn(params["linear2"], params["bn7"], g))

@@ -116,27 +116,34 @@ def apply(params: Dict, x: jnp.ndarray,
     if key is not None:
         k1, k2 = jax.random.split(key)
 
-    h = F.relu(F.linear_bn(params["conv1"], params["bn1"], x))
-    h = F.relu(F.linear_bn(params["conv2"], params["bn2"], h))
+    with jax.named_scope("pct_embed"):
+        h = F.relu(F.linear_bn(params["conv1"], params["bn1"], x))
+        h = F.relu(F.linear_bn(params["conv2"], params["bn2"], h))
 
-    new_xyz, grouped = G.sample_and_group_knn(512, 32, xyz, h, key=k1)
-    feat0 = _local_op_apply(params["gather0"], grouped)       # [B,512,128]
-    new_xyz, grouped = G.sample_and_group_knn(256, 32, new_xyz, feat0,
-                                              key=k2)
-    feat1 = _local_op_apply(params["gather1"], grouped)       # [B,256,256]
+    with jax.named_scope("pct_group0"):
+        new_xyz, grouped = G.sample_and_group_knn(512, 32, xyz, h, key=k1)
+        feat0 = _local_op_apply(params["gather0"], grouped)   # [B,512,128]
+    with jax.named_scope("pct_group1"):
+        new_xyz, grouped = G.sample_and_group_knn(256, 32, new_xyz,
+                                                  feat0, key=k2)
+        feat1 = _local_op_apply(params["gather1"], grouped)   # [B,256,256]
 
-    h = F.relu(F.linear_bn(params["pt_conv1"], params["pt_bn1"], feat1))
-    h = F.relu(F.linear_bn(params["pt_conv2"], params["pt_bn2"], h))
-    x1 = _sa_layer_apply(params["sa1"], h)
-    x2 = _sa_layer_apply(params["sa2"], x1)
-    x3 = _sa_layer_apply(params["sa3"], x2)
-    x4 = _sa_layer_apply(params["sa4"], x3)
-    h = jnp.concatenate([x1, x2, x3, x4], axis=-1)            # [B,256,1024]
-    h = jnp.concatenate([h, feat1], axis=-1)                  # [B,256,1280]
-    # max(leaky(linear_bn)) == leaky(max(linear_bn)) (monotone): ride
-    # the fused VMEM-resident max_linear kernel (see F.linear_bn_max)
-    g = F.leaky_relu(F.linear_bn_max(params["conv_fuse"],
-                                     params["bn_fuse"], h))   # [B, 1024]
+    with jax.named_scope("pct_pt"):
+        h = F.relu(F.linear_bn(params["pt_conv1"], params["pt_bn1"],
+                               feat1))
+        h = F.relu(F.linear_bn(params["pt_conv2"], params["pt_bn2"], h))
+    with jax.named_scope("pct_sa"):
+        x1 = _sa_layer_apply(params["sa1"], h)
+        x2 = _sa_layer_apply(params["sa2"], x1)
+        x3 = _sa_layer_apply(params["sa3"], x2)
+        x4 = _sa_layer_apply(params["sa4"], x3)
+    with jax.named_scope("pct_fuse"):
+        h = jnp.concatenate([x1, x2, x3, x4], axis=-1)        # [B,256,1024]
+        h = jnp.concatenate([h, feat1], axis=-1)              # [B,256,1280]
+        # max(leaky(linear_bn)) == leaky(max(linear_bn)) (monotone): ride
+        # the fused VMEM-resident max_linear kernel (see F.linear_bn_max)
+        g = F.leaky_relu(F.linear_bn_max(params["conv_fuse"],
+                                         params["bn_fuse"], h))  # [B,1024]
 
     g = F.leaky_relu(F.linear_bn(params["linear1"], params["bn6"], g))
     g = F.leaky_relu(F.linear_bn(params["linear2"], params["bn7"], g))
