@@ -52,6 +52,25 @@ def _top_ops(trace_dir: str, top: int = None):
               f"{str(g(r, 'bound_by'))[:10]:10s} "
               f"{str(g(r, 'hlo_op_name'))[:40]:40s} {scope}")
 
+    if has_tf:
+        # aggregate self time by the deepest annotated named_scope in
+        # the op path — stage totals for the jax.named_scope tags the
+        # models/attacks carry (ha_/sag_/sa*/pc_/pct_/dg_)
+        import re
+        tag = re.compile(r"^(ha|sag|sa\d*|sa_all|pc|pct|dg)_\w+$")
+        by_scope = {}
+        for r in rows:
+            name = str(g(r, "tf_op_name") or "")
+            segs = [s for s in name.split("/") if tag.match(s)]
+            seg = "/".join(segs[-2:]) if segs else "(unscoped)"
+            by_scope[seg] = by_scope.get(seg, 0) + (
+                g(r, "total_self_time") or 0)
+        print("  -- by named scope --")
+        for seg, t in sorted(by_scope.items(), key=lambda kv: -kv[1]):
+            if t < 0.005 * total:
+                continue
+            print(f"  {t:9.0f}us {100 * t / total:5.1f}%  {seg}")
+
 
 def main():
     import jax
