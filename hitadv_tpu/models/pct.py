@@ -48,6 +48,32 @@ def _local_op_apply(p, x):
     return F.max_mid(h)
 
 
+def _local_op_fused(p, points, fps_idx, idx):
+    """Eval-mode Local_op with conv1 run PROJECT-THEN-GATHER.
+
+    The reference's grouped input is ``concat(g_j - c_i, c_i)``
+    (`model/pct_utils.py:135-139`); conv1+BN is affine in eval mode, so
+    ``conv1(concat) = g_j·W1 + c_i·(W2 - W1) + b`` and the gather
+    commutes with the projection: ONE gather of the [B, N, C]
+    projected features replaces the [B, S, ns, 2D] concat, the tiled
+    center broadcast, and the grouped-space matmul (the center term
+    runs on S rows instead of S·ns). Reassociation-level drift only.
+    """
+    lin, bn = p["conv1"], p["bn1"]
+    s = jax.lax.rsqrt(bn["var"] + 1e-5) * bn["scale"]
+    b = bn["bias"] - bn["mean"] * s
+    if "b" in lin:
+        b = b + lin["b"] * s
+    W = lin["w"] * s[None]                                    # [2D, C]
+    D = points.shape[-1]
+    q = F.linear({"w": W[:D]}, points)                        # [B, N, C]
+    center = G.index_points(points, fps_idx)                  # [B, S, D]
+    cterm = F.linear({"w": W[D:] - W[:D], "b": b}, center)    # [B, S, C]
+    h = F.relu(G.index_points(q, idx) + cterm[:, :, None, :])
+    h = F.relu(F.linear_bn(p["conv2"], p["bn2"], h))
+    return F.max_mid(h)
+
+
 def _sa_layer_init(key, channels):
     kq, kv, kt = jax.random.split(key, 3)
     # q and k share the SAME weight tensor (reference ties them); we store
@@ -120,13 +146,32 @@ def apply(params: Dict, x: jnp.ndarray,
         h = F.relu(F.linear_bn(params["conv1"], params["bn1"], x))
         h = F.relu(F.linear_bn(params["conv2"], params["bn2"], h))
 
-    with jax.named_scope("pct_group0"):
-        new_xyz, grouped = G.sample_and_group_knn(512, 32, xyz, h, key=k1)
-        feat0 = _local_op_apply(params["gather0"], grouped)   # [B,512,128]
-    with jax.named_scope("pct_group1"):
-        new_xyz, grouped = G.sample_and_group_knn(256, 32, new_xyz,
-                                                  feat0, key=k2)
-        feat1 = _local_op_apply(params["gather1"], grouped)   # [B,256,256]
+    if F.bn_is_training():
+        # train-mode BN needs batch stats of conv1's pre-activation
+        # over the group grid — keep the reference formulation (tuple
+        # parts; the [B, S, ns, 2D] concat is still never built)
+        with jax.named_scope("pct_group0"):
+            new_xyz, grouped = G.sample_and_group_knn(
+                512, 32, xyz, h, key=k1, concat=False)
+            feat0 = _local_op_apply(params["gather0"], grouped)
+        with jax.named_scope("pct_group1"):
+            new_xyz, grouped = G.sample_and_group_knn(
+                256, 32, new_xyz, feat0, key=k2, concat=False)
+            feat1 = _local_op_apply(params["gather1"], grouped)
+    else:
+        with jax.named_scope("pct_group0"):
+            fps_idx = G.farthest_point_sample(xyz, 512, key=k1)
+            new_xyz = G.index_points(xyz, fps_idx)
+            idx = G.knn_point(32, xyz, new_xyz)
+            feat0 = _local_op_fused(params["gather0"], h,
+                                    fps_idx, idx)             # [B,512,128]
+        with jax.named_scope("pct_group1"):
+            fps_idx = G.farthest_point_sample(new_xyz, 256, key=k2)
+            xyz2 = G.index_points(new_xyz, fps_idx)
+            idx = G.knn_point(32, new_xyz, xyz2)
+            feat1 = _local_op_fused(params["gather1"], feat0,
+                                    fps_idx, idx)             # [B,256,256]
+            new_xyz = xyz2
 
     with jax.named_scope("pct_pt"):
         h = F.relu(F.linear_bn(params["pt_conv1"], params["pt_bn1"],

@@ -113,8 +113,8 @@ def _stage_apply(p, stage: PCStage, xyz, points):
     if stage.group_all:
         new_xyz = jnp.mean(xyz, axis=1, keepdims=True)        # [B, 1, 3]
         grouped_xyz = xyz[:, None] - new_xyz[:, :, None]      # [B,1,N,3]
-        new_points = jnp.concatenate(
-            [grouped_xyz, points[:, None]], axis=-1)
+        # tuple parts: F.linear_parts consumes them un-concatenated
+        new_points = (grouped_xyz, points[:, None])
         grouped_density = inv_density.reshape(B, 1, N)
         S = 1
     else:
@@ -145,8 +145,9 @@ def _stage_apply(p, stage: PCStage, xyz, points):
             grouped_density = grouped_aug[..., 3]             # [B,S,ns]
             grouped_points = (grouped_aug[..., 4:] if merge_points
                               else G.index_points(points, idx))
-            new_points = jnp.concatenate([grouped_xyz, grouped_points],
-                                         axis=-1)
+            # tuple parts: the first MLP layer consumes (xyz_norm,
+            # feats) via F.linear_parts — no [B, S, ns, 3+D] concat
+            new_points = (grouped_xyz, grouped_points)
         S = stage.npoint
 
     with jax.named_scope("pc_mlp"):

@@ -45,18 +45,55 @@ def _sa_init(key: jax.Array, in_channel: int, mlp: Sequence[int]) -> Dict:
 def _sa_apply(params: Dict, cfg: SAConfig, xyz: jnp.ndarray,
               points: Optional[jnp.ndarray],
               key: Optional[jax.Array]):
-    """One set-abstraction stage. xyz [B,N,3], points [B,N,D] or None."""
+    """One set-abstraction stage. xyz [B,N,3], points [B,N,D] or None.
+
+    Eval mode runs the first MLP layer PROJECT-THEN-GATHER: the layer
+    is affine (BN folded), and an affine map commutes with a row
+    gather, so ``conv0(concat(gather(xyz) - center, gather(feats)))``
+    ==  ``gather(xyz·Wx + feats·Wf, idx) - center·Wx + b`` — both
+    parts share idx, so ONE gather of the [B, N, C1] projected field
+    replaces the xyz gather + feats gather + channel concat. On TPU
+    that removes the [B, S, ns, 3(+D)] tensor, its layout copies
+    (profiled ~0.5 ms/iter of the B=16 attack program), one of the two
+    backward scatter-adds, and the K=3 contraction XLA lays out badly.
+    Reassociation-level drift only. Train-mode BN needs batch stats of
+    the pre-activation over the group grid, so it keeps the reference
+    formulation (tuple parts — the concat is still never built).
+    """
     tag = "sa_all" if cfg.group_all else f"sa{cfg.npoint}"
-    with jax.named_scope(f"{tag}_group"):
-        if cfg.group_all:
-            new_xyz, new_points = G.sample_and_group_all(xyz, points)
-        else:
-            new_xyz, new_points = G.sample_and_group(
-                cfg.npoint, cfg.radius, cfg.nsample, xyz, points,
-                key=key)
-    # new_points: [B, S, ns, C+D] -> shared MLP over last dim + max over ns
-    with jax.named_scope(f"{tag}_mlp"):
-        h = F.mlp_apply(params, new_points)
+    if cfg.group_all or F.bn_is_training():
+        with jax.named_scope(f"{tag}_group"):
+            if cfg.group_all:
+                new_xyz, new_points = G.sample_and_group_all(
+                    xyz, points, concat=False)
+            else:
+                new_xyz, new_points = G.sample_and_group(
+                    cfg.npoint, cfg.radius, cfg.nsample, xyz, points,
+                    key=key, concat=False)
+        with jax.named_scope(f"{tag}_mlp"):
+            h = F.mlp_apply(params, new_points)
+    else:
+        with jax.named_scope(f"{tag}_group"):
+            fps_idx = G.farthest_point_sample(xyz, cfg.npoint, key=key)
+            new_xyz = G.index_points(xyz, fps_idx)            # [B, S, 3]
+            idx = G.query_ball_point(cfg.radius, cfg.nsample, xyz,
+                                     new_xyz)                 # [B, S, ns]
+        with jax.named_scope(f"{tag}_proj"):
+            lin, bn = params["conv0"], params["bn0"]
+            s = bn["scale"] * jax.lax.rsqrt(bn["var"] + 1e-5)
+            b = bn["bias"] - bn["mean"] * s
+            if "b" in lin:
+                b = b + lin["b"] * s
+            W = lin["w"] * s[None]                            # [3+D, C1]
+            q = F.linear({"w": W[:3]}, xyz)                   # [B, N, C1]
+            if points is not None:
+                q = q + F.linear({"w": W[3:]}, points)
+            pc = F.linear({"w": W[:3]}, new_xyz)              # [B, S, C1]
+        with jax.named_scope(f"{tag}_gather"):
+            h = F.relu(G.index_points(q, idx) - pc[:, :, None, :]
+                       + b.astype(q.dtype))                   # [B,S,ns,C1]
+        with jax.named_scope(f"{tag}_mlp"):
+            h = F.mlp_apply(params, h, start=1)
     with jax.named_scope(f"{tag}_max"):
         pooled = F.max_mid(h)                                 # [B, S, C']
     return new_xyz, pooled
@@ -136,8 +173,9 @@ def msg_apply(params: Dict, npoint: int,
         idx = G.query_ball_point(radius, nsample, xyz, new_xyz)
         grouped_xyz = G.index_points(xyz, idx) - new_xyz[:, :, None, :]
         if points is not None:
-            grouped = jnp.concatenate(
-                [G.index_points(points, idx), grouped_xyz], axis=-1)
+            # parts in the reference's concat order [points, xyz]
+            # (:246-249); F.linear_parts consumes them un-concatenated
+            grouped = (G.index_points(points, idx), grouped_xyz)
         else:
             grouped = grouped_xyz
         h = F.mlp_apply(params[f"branch{i}"], grouped)
@@ -173,7 +211,7 @@ def fp_apply(params: Dict, xyz1: jnp.ndarray, xyz2: jnp.ndarray,
         weights = G.interpolate_weights(-neg)
         interpolated = G.three_interpolate(points2, idx, weights)
     if points1 is not None:
-        interpolated = jnp.concatenate([points1, interpolated], axis=-1)
+        interpolated = (points1, interpolated)    # F.linear_parts order
     return F.mlp_apply(params, interpolated)
 
 

@@ -70,8 +70,14 @@ def linear_init(key: jax.Array, in_features: int, out_features: int,
 conv1x1_init = linear_init
 
 
-def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    """``[..., Cin] -> [..., Cout]`` matmul; bias optional."""
+def linear(p: Params, x) -> jnp.ndarray:
+    """``[..., Cin] -> [..., Cout]`` matmul; bias optional.
+
+    ``x`` may be a tuple of channel-partitioned parts (see
+    ``linear_parts``) — the concat is never materialized.
+    """
+    if isinstance(x, (tuple, list)):
+        return linear_parts(p, x)
     if _COMPUTE_DTYPE is not None:
         y = jnp.matmul(_cast(x), _cast(p["w"]),
                        preferred_element_type=jnp.float32)
@@ -83,6 +89,40 @@ def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     if "b" in p:
         y = y + p["b"]
     return y
+
+
+def linear_parts(p: Params, parts: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """Linear over a channel-partitioned input without materializing
+    the concat: ``concat(parts, -1) @ W == Σ_i parts_i @ W[off_i:off_i
+    + Ci]`` (partials summed in f32 before the compute-dtype cast —
+    the same reassociation class as the one-matmul form).
+
+    Why: the grouped-feature concats (`model/pointnet2_utils.py:134`,
+    `model/pct_utils.py:139`) cost layout copies on TPU — profiled at
+    ~0.5 ms/iter of the PointNet++ attack program — and produce ragged
+    channel counts (3+128=131) that tile badly on the MXU. A part with
+    a singleton group axis (the tiled PCT center, [B, S, 1, D])
+    broadcasts in the sum, so its matmul runs on S rows, not S·ns.
+    """
+    w = p["w"]
+    off, y = 0, None
+    for x in parts:
+        c = x.shape[-1]
+        wi = w[off:off + c]
+        if _COMPUTE_DTYPE is not None:
+            yi = jnp.matmul(_cast(x), _cast(wi),
+                            preferred_element_type=jnp.float32)
+        else:
+            yi = jnp.matmul(x, wi, preferred_element_type=jnp.float32)
+        y = yi if y is None else y + yi
+        off += c
+    if off != w.shape[0]:
+        raise ValueError(
+            f"parts supply {off} channels, weight expects {w.shape[0]}")
+    if _COMPUTE_DTYPE is not None:
+        y = y.astype(_COMPUTE_DTYPE)
+        return y + _cast(p["b"]) if "b" in p else y
+    return y + p["b"] if "b" in p else y
 
 
 def conv1d_init(key: jax.Array, in_channels: int, out_channels: int,
@@ -350,7 +390,8 @@ def mlp_init(key: jax.Array, channels: Sequence[int],
 
 
 def mlp_apply(params: Dict[str, Params], x: jnp.ndarray,
-              act=relu, last_act: bool = True) -> jnp.ndarray:
+              act=relu, last_act: bool = True,
+              start: int = 0) -> jnp.ndarray:
     """Apply the conv-bn-act stack; ``last_act=False`` skips the final act.
 
     In eval mode the BN affine folds into the matmul: bn(xW + b) =
@@ -358,10 +399,14 @@ def mlp_apply(params: Dict[str, Params], x: jnp.ndarray,
     algebra (reassociation-level float drift), one matmul per layer
     instead of matmul + separate normalize. Train mode (inside
     ``bn_training``) keeps the explicit batch-stat batchnorm.
+
+    ``start`` skips the first layers (a caller that fused layer 0 into
+    its gather — see pointnet2._sa_apply — passes start=1; ``x`` is
+    then that layer's already-activated output).
     """
     n = len(params) // 2
     fold = not bn_is_training()
-    for i in range(n):
+    for i in range(start, n):
         lin, bn = params[f"conv{i}"], params[f"bn{i}"]
         if fold:
             s = bn["scale"] * jax.lax.rsqrt(bn["var"] + 1e-5)

@@ -510,7 +510,7 @@ def query_ball_point(radius: float, nsample: int, xyz: jnp.ndarray,
 def sample_and_group(npoint: int, radius: float, nsample: int,
                      xyz: jnp.ndarray, points: Optional[jnp.ndarray],
                      key: Optional[jax.Array] = None,
-                     return_fps: bool = False):
+                     return_fps: bool = False, concat: bool = True):
     """FPS → ball query → gather → center-subtract → concat features.
 
     Matches reference `model/pointnet2_utils.py:110-138`.
@@ -518,6 +518,10 @@ def sample_and_group(npoint: int, radius: float, nsample: int,
     Args:
       xyz: ``[B, N, 3]``.
       points: optional ``[B, N, D]`` features.
+      concat: with ``False`` the feature concat is left to the consumer
+        — returns ``(grouped_xyz_norm, grouped_points)`` as a tuple for
+        `F.linear_parts`, skipping the [B, S, ns, 3+D] materialization
+        (and its TPU layout copies / ragged channel tiling).
     Returns:
       (new_xyz ``[B, npoint, 3]``, new_points ``[B, npoint, nsample, 3+D]``)
       plus (grouped_xyz, fps_idx) when ``return_fps``.
@@ -534,8 +538,11 @@ def sample_and_group(npoint: int, radius: float, nsample: int,
     if points is not None:
         with jax.named_scope("sag_gather_feat"):
             grouped_points = index_points(points, idx)
-            new_points = jnp.concatenate([grouped_xyz_norm,
-                                          grouped_points], axis=-1)
+            if concat:
+                new_points = jnp.concatenate([grouped_xyz_norm,
+                                              grouped_points], axis=-1)
+            else:
+                new_points = (grouped_xyz_norm, grouped_points)
     else:
         new_points = grouped_xyz_norm
     if return_fps:
@@ -544,14 +551,22 @@ def sample_and_group(npoint: int, radius: float, nsample: int,
 
 
 def sample_and_group_all(xyz: jnp.ndarray,
-                         points: Optional[jnp.ndarray]):
-    """Single global group. Matches `model/pointnet2_utils.py:142-159`."""
+                         points: Optional[jnp.ndarray],
+                         concat: bool = True):
+    """Single global group. Matches `model/pointnet2_utils.py:142-159`.
+
+    ``concat=False`` returns the (xyz, points) parts as a tuple for
+    `F.linear_parts` instead of materializing the channel concat.
+    """
     B, N, C = xyz.shape
     new_xyz = jnp.zeros((B, 1, C), dtype=xyz.dtype)
     grouped_xyz = xyz[:, None, :, :]                          # [B, 1, N, 3]
     if points is not None:
-        new_points = jnp.concatenate(
-            [grouped_xyz, points[:, None, :, :]], axis=-1)
+        if concat:
+            new_points = jnp.concatenate(
+                [grouped_xyz, points[:, None, :, :]], axis=-1)
+        else:
+            new_points = (grouped_xyz, points[:, None, :, :])
     else:
         new_points = grouped_xyz
     return new_xyz, new_points
@@ -573,11 +588,17 @@ def knn_point(nsample: int, xyz: jnp.ndarray,
 
 def sample_and_group_knn(npoint: int, nsample: int, xyz: jnp.ndarray,
                          points: jnp.ndarray,
-                         key: Optional[jax.Array] = None):
+                         key: Optional[jax.Array] = None,
+                         concat: bool = True):
     """PCT's sample_and_group: kNN groups + feature-delta concat.
 
     Matches reference `model/pct_utils.py:111-141`: new features are
     ``concat([grouped_points - center_points, center_points (tiled)])``.
+
+    ``concat=False`` returns ``(grouped_norm, center [B, S, 1, D])``
+    for `F.linear_parts` — the center part stays singleton (it
+    broadcasts in the matmul sum), so the tile materialization AND its
+    ns× redundant matmul rows both disappear.
     """
     B, N, C = xyz.shape
     fps_idx = farthest_point_sample(xyz, npoint, key=key)
@@ -586,6 +607,8 @@ def sample_and_group_knn(npoint: int, nsample: int, xyz: jnp.ndarray,
     idx = knn_point(nsample, xyz, new_xyz)                    # [B, S, ns]
     grouped_points = index_points(points, idx)                # [B, S, ns, D]
     grouped_norm = grouped_points - new_points[:, :, None, :]
+    if not concat:
+        return new_xyz, (grouped_norm, new_points[:, :, None, :])
     tiled = jnp.broadcast_to(new_points[:, :, None, :],
                              grouped_norm.shape)
     return new_xyz, jnp.concatenate([grouped_norm, tiled], axis=-1)
