@@ -40,23 +40,44 @@ def _top_ops(trace_dir: str, top: int = None):
     def g(r, k):
         return r[cols.index(k)]
 
+    import re
+
     rows.sort(key=lambda r: -(g(r, "total_self_time") or 0))
     total = sum(g(r, "total_self_time") or 0 for r in rows)
     print(f"  total device self time {total / 1e3:.1f} ms")
-    has_tf = "tf_op_name" in cols
+    strip = lambda s: re.sub(r"<[^>]+>", "", str(s))  # noqa: E731
     for r in rows[:top]:
         t = g(r, "total_self_time") or 0
-        scope = str(g(r, "tf_op_name"))[:48] if has_tf else ""
+        src = strip(g(r, "source_info")).replace("/root/repo/", "")
         print(f"  {t:9.0f}us {str(g(r, 'category'))[:22]:22s} "
               f"x{g(r, 'occurrences'):5} "
               f"{str(g(r, 'bound_by'))[:10]:10s} "
-              f"{str(g(r, 'hlo_op_name'))[:40]:40s} {scope}")
+              f"{str(g(r, 'hlo_op_name'))[:34]:34s} {src[:44]}")
 
-    if has_tf:
+    # aggregate self time by source line — per-iteration ops (the
+    # scanned attack body) and one-time prep reported separately
+    from collections import defaultdict
+    per_iter, prep = defaultdict(float), defaultdict(float)
+    occs = [g(r, "occurrences") or 0 for r in rows]
+    iters = max(occs) if occs else 1
+    for r in rows:
+        src = strip(g(r, "source_info")).replace("/root/repo/", "")
+        tgt = per_iter if (g(r, "occurrences") or 0) >= iters else prep
+        tgt[src] += g(r, "total_self_time") or 0
+    ptot = sum(per_iter.values())
+    print(f"  -- by source line (x{iters:.0f} per-iter ops, "
+          f"{ptot / 1e3 / iters:.2f} ms/iter) --")
+    for s, t in sorted(per_iter.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"  {t / iters:8.1f}us/it {100 * t / ptot:5.1f}%  {s}")
+    stot = sum(prep.values())
+    print(f"  -- one-time prep total {stot / 1e3:.1f} ms --")
+    for s, t in sorted(prep.items(), key=lambda kv: -kv[1])[:6]:
+        print(f"  {t:9.0f}us {s}")
+
+    if "tf_op_name" in cols:
         # aggregate self time by the deepest annotated named_scope in
         # the op path — stage totals for the jax.named_scope tags the
         # models/attacks carry (ha_/sag_/sa*/pc_/pct_/dg_)
-        import re
         tag = re.compile(r"^(ha|sag|sa\d*|sa_all|pc|pct|dg)_\w+$")
         by_scope = {}
         for r in rows:
