@@ -32,11 +32,17 @@ class DGCNNConfig:
     dropout: float = 0.2        # identity in eval mode
 
 
-def get_graph_feature(x: jnp.ndarray, k: int) -> jnp.ndarray:
+def get_graph_feature(x: jnp.ndarray, k: int,
+                      concat: bool = True) -> jnp.ndarray:
     """Edge features over the feature-space kNN graph.
 
     x: ``[B, N, C]`` -> ``[B, N, k, 2C]`` (= concat(x_j - x_i, x_i)).
     Parity: `model/dgcnn_cls.py:16-43` (self included in neighbors).
+
+    ``concat=False`` returns ``(x_j - x_i, x_i [B, N, 1, C])`` for
+    `F.linear_parts` — the center part stays singleton (broadcasts in
+    the matmul sum), so neither the edge-grid concat nor the tiled
+    center is materialized.
     """
     # indices are piecewise-constant in x: the reference's torch.topk
     # idx carries no gradient either (`model/dgcnn_cls.py:7-13`), and
@@ -45,6 +51,8 @@ def get_graph_feature(x: jnp.ndarray, k: int) -> jnp.ndarray:
     xs = lax.stop_gradient(x)
     idx = G.knn_idx(xs, xs, k)                                # [B, N, k]
     neighbors = G.index_points(x, idx)                        # [B, N, k, C]
+    if not concat:
+        return neighbors - x[:, :, None, :], x[:, :, None, :]
     center = jnp.broadcast_to(x[:, :, None, :], neighbors.shape)
     return jnp.concatenate([neighbors - center, center], axis=-1)
 
@@ -123,7 +131,9 @@ def make_apply(cfg: DGCNNConfig = DGCNNConfig()):
                     h = edge_conv_fused(params[f"conv{i}"],
                                         params[f"bn{i}"], h, cfg.k)
                 else:
-                    e = get_graph_feature(h, cfg.k)           # [B,N,k,2C]
+                    # tuple parts ride F.linear_parts; BN batch stats
+                    # still see the full [B, N, k, C'] edge grid
+                    e = get_graph_feature(h, cfg.k, concat=False)
                     e = F.leaky_relu(F.linear_bn(params[f"conv{i}"],
                                                  params[f"bn{i}"], e))
                     h = jnp.max(e, axis=2)                    # [B, N, C']
