@@ -130,6 +130,46 @@ def main():
     check("pointnet++ fwd+bwd vs xla backend", rel < 1e-3 and gd < 1e-2,
           f"rel={rel:.1e} graddiff={gd:.1e}")
 
+    # ---- PCT (fused project-then-gather Local_ops + attention) ----
+    from hitadv_tpu.models import pct
+    pctp = pct.init(jax.random.PRNGKey(3), num_classes=40)
+    x3 = jnp.asarray(rng.uniform(size=(2, 700, 3)), jnp.float32)
+
+    def pct_loss(x):
+        return jnp.sum(pct.apply(pctp, x) ** 2)
+
+    res = {}
+    for be in ("pallas", "xla"):
+        set_backend(be)
+        v, g = jax.jit(jax.value_and_grad(pct_loss))(x3)
+        res[be] = (float(v), np.asarray(g))
+    set_backend("auto")
+    rel = abs(res["pallas"][0] - res["xla"][0]) / (abs(res["xla"][0]) + 1e-9)
+    # grads compared in relative L2: kNN near-ties at the k-boundary
+    # flip neighbor-set membership between backends (implementation-
+    # defined, as in the reference's CUDA), which legitimately moves a
+    # few pointwise entries; the aggregate must stay small
+    gd = (np.linalg.norm(res["pallas"][1] - res["xla"][1])
+          / (np.linalg.norm(res["xla"][1]) + 1e-9))
+    check("pct fwd+bwd vs xla backend", rel < 1e-3 and gd < 3e-2,
+          f"rel={rel:.1e} gradL2={gd:.1e}")
+
+    # ---- bf16 attack mode: fused paths stay finite and near f32 ----
+    from hitadv_tpu.nn import functional as nnF
+    for name, apply_fn, prm in (("pointnet2", pointnet2.apply, p2),
+                                ("pct", pct.apply, pctp)):
+        f32 = np.asarray(jax.jit(
+            lambda x, ap=apply_fn, pp=prm: ap(pp, x))(x3))
+        nnF.set_compute_dtype(jnp.bfloat16)
+        b16 = np.asarray(jax.jit(
+            lambda x, ap=apply_fn, pp=prm: ap(pp, x))(x3),
+            np.float32)
+        nnF.set_compute_dtype(None)
+        rel = (np.max(np.abs(b16 - f32))
+               / (np.max(np.abs(f32)) + 1e-9))
+        check(f"{name} bf16 vs f32 logits", rel < 0.1
+              and bool(np.isfinite(b16).all()), f"rel={rel:.1e}")
+
     # ---- PointConv (kde + FPS), incl. the B=1 degenerate cloud ----
     from hitadv_tpu.models import pointconv
     pcp = pointconv.init(jax.random.PRNGKey(1), num_classes=40)
