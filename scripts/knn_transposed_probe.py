@@ -107,8 +107,55 @@ def _knn_packed_t_kernel(p_ref, qt_ref, pn_ref, qn_ref, dist_ref,
     idx_ref[0] = out_i
 
 
+def _knn_exact_t_kernel(p_ref, qt_ref, pn_ref, qn_ref, dist_ref,
+                        idx_ref, *, k: int, n_valid: int):
+    """Exact transposed variant: per step, one value tree-min plus one
+    masked index tree-min (same selection semantics as _knn_kernel —
+    lowest-index tie-break, full-precision distances). Target: the f32
+    feature space where the packed kernels' truncation is disallowed.
+    """
+    p = p_ref[0]                                              # [Np, C]
+    qt = qt_ref[0]                                            # [C, TQ]
+    C = qt.shape[0]
+    if C <= 4:
+        cross = p[:, 0:1] * qt[0:1, :]
+        for c in range(1, C):
+            cross += p[:, c:c + 1] * qt[c:c + 1, :]           # [Np, TQ]
+    else:
+        cross = lax.dot_general(
+            p, qt, (((1,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+    d = qn_ref[0] - 2.0 * cross + pn_ref[0]                   # [Np, TQ]
+
+    Np, TQ = d.shape
+    row = lax.broadcasted_iota(jnp.int32, (Np, TQ), 0)
+    if n_valid < Np:
+        d = jnp.where(row < n_valid, d, _POS_INF)
+    k_pad = dist_ref.shape[-2]
+    slot = lax.broadcasted_iota(jnp.int32, (k_pad, TQ), 0)
+    big = jnp.int32(2 ** 30)
+
+    def body(i, carry):
+        d, out_d, out_i = carry
+        m = _tree_min(d)                                      # [1, TQ]
+        hit = d <= m
+        a = _tree_min(jnp.where(hit, row, big))               # [1, TQ]
+        out_d = jnp.where(slot == i, m, out_d)
+        out_i = jnp.where(slot == i, a, out_i)
+        d = jnp.where(row == a, _POS_INF, d)                  # knockout
+        return d, out_d, out_i
+
+    _, out_d, out_i = lax.fori_loop(
+        0, k, body,
+        (d, jnp.zeros((k_pad, TQ), jnp.float32),
+         jnp.zeros((k_pad, TQ), jnp.int32)))
+    dist_ref[0] = out_d
+    idx_ref[0] = out_i
+
+
 def knn_packed_t(query: jnp.ndarray, points: jnp.ndarray, k: int,
-                 tile_q: int = 128):
+                 tile_q: int = 128, exact: bool = False):
     B, Nq, C = query.shape
     N = points.shape[1]
     query = query.astype(jnp.float32)
@@ -131,8 +178,11 @@ def knn_packed_t(query: jnp.ndarray, points: jnp.ndarray, k: int,
     nb = max(1, (Np - 1).bit_length())
 
     grid = (B, (Nq + pad_q) // tile_q)
-    kernel = functools.partial(_knn_packed_t_kernel, k=k, n_valid=N,
-                               nb=nb)
+    if exact:
+        kernel = functools.partial(_knn_exact_t_kernel, k=k, n_valid=N)
+    else:
+        kernel = functools.partial(_knn_packed_t_kernel, k=k, n_valid=N,
+                                   nb=nb)
     dists, idx = pl.pallas_call(
         kernel,
         grid=grid,
@@ -184,17 +234,24 @@ def main():
         dT, iT = jax.jit(lambda x: knn_packed_t(x, x, k))(x)
         same_i = bool(jnp.all(iP == iT))
         same_d = bool(jnp.all(dP == dT))
-        print(f"[{B},{N},{C}] k={k}  T==P idx:{same_i} dist:{same_d}",
-              flush=True)
-        if not same_i:
-            bad = int(jnp.sum(iP != iT))
-            print(f"  mismatched entries: {bad}/{iP.size}")
+        dE, iE = jax.jit(lambda x: pk.knn_pallas(x, x, k, packed=False))(x)
+        dX, iX = jax.jit(lambda x: knn_packed_t(x, x, k, exact=True))(x)
+        same_xi = bool(jnp.all(iE == iX))
+        same_xd = bool(jnp.all(dE == dX))
+        print(f"[{B},{N},{C}] k={k}  T==P idx:{same_i} dist:{same_d} | "
+              f"Texact==E idx:{same_xi} dist:{same_xd}", flush=True)
+        for name, a, b in (("packed", iP, iT), ("exact", iE, iX)):
+            bad = int(jnp.sum(a != b))
+            if bad:
+                print(f"  {name} mismatched entries: {bad}/{a.size}")
         if on_tpu:
             tE = timeit(lambda x: pk.knn_pallas(x, x, k, packed=False), x)
             tP = timeit(lambda x: pk.knn_pallas(x, x, k, packed=True), x)
             tT = timeit(lambda x: knn_packed_t(x, x, k), x)
+            tX = timeit(lambda x: knn_packed_t(x, x, k, exact=True), x)
             print(f"  exact {tE:6.3f} ms | packed {tP:6.3f} ms | "
-                  f"transposed {tT:6.3f} ms", flush=True)
+                  f"T-packed {tT:6.3f} ms | T-exact {tX:6.3f} ms",
+                  flush=True)
 
 
 if __name__ == "__main__":
