@@ -22,6 +22,7 @@ per-iteration dynamic-column vector stores.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -37,6 +38,59 @@ def _interpret() -> bool:
         return jax.default_backend() != "tpu"
     except Exception:
         return True
+
+
+# ---------------------------------------------------------------------------
+# Selection-loop layout
+# ---------------------------------------------------------------------------
+#
+# The kNN / ball-query / FPS kernels all spend their time in a serial
+# selection loop whose per-step costs are REDUCTIONS over the candidate
+# axis. Two layouts:
+#   * "lanes":    candidates on the lane axis ([TQ, N] blocks) — each
+#     step pays cross-lane min/argmax reductions (Mosaic lowers these
+#     through lane shuffles);
+#   * "sublanes": transposed ([N, TQ]) — each reduction becomes a
+#     halving tree of ELEMENTWISE mins over sublane slices (total work
+#     ~1 sweep of the block, no lane shuffles) and the knockout a
+#     sublane-broadcast compare. Selection semantics are preserved
+#     exactly (probes: scripts/{knn,ballq,fps}_transposed_probe.py —
+#     bitwise-identical outputs for the exact/ball-query/FPS kernels,
+#     identical neighbor sets for the packed kernel).
+# The candidate axis is padded to a power of two in "sublanes" (masked
+# rows); the dispatcher falls back to "lanes" when that pad exceeds 25%.
+
+_EXTRACT_LAYOUT = os.environ.get("HITADV_EXTRACT_LAYOUT", "lanes")
+
+
+def set_extract_layout(layout: str) -> None:
+    """Select the selection-loop layout: "lanes" | "sublanes"."""
+    global _EXTRACT_LAYOUT
+    if layout not in ("lanes", "sublanes"):
+        raise ValueError(f"unknown extract layout: {layout!r}")
+    _EXTRACT_LAYOUT = layout
+
+
+def _pow2_rows(n: int) -> int:
+    return 1 << max(3, (n - 1).bit_length())
+
+
+def _use_transposed(n_candidates: int) -> bool:
+    return (_EXTRACT_LAYOUT == "sublanes"
+            and 4 * _pow2_rows(n_candidates) <= 5 * n_candidates)
+
+
+def _tree(op, t: jnp.ndarray) -> jnp.ndarray:
+    """Reduce axis 0 (sublanes, a power of two) by elementwise halving."""
+    r = t.shape[0]
+    while r > 1:
+        h = r // 2
+        t = op(t[:h], t[h:])
+        r = h
+    return t                                                 # [1, lanes]
+
+
+_tree_min = functools.partial(_tree, jnp.minimum)
 
 
 _NEG_INF = float("-inf")
@@ -168,6 +222,167 @@ def _knn_packed_kernel(q_ref, p_ref, pn_ref, dist_ref, idx_ref, *,
     idx_ref[0] = out_i
 
 
+def _knn_t_kernel(p_ref, qt_ref, pn_ref, qn_ref, dist_ref, idx_ref, *,
+                  k: int, n_valid: int):
+    """Exact kNN, sublane layout — one (batch, query-tile) program.
+
+    p_ref [1, Np, C] points (Np a power of two, padded rows masked);
+    qt_ref [1, C, TQ] queries transposed; pn_ref [1, Np, 1];
+    qn_ref [1, 1, TQ]; outputs [1, k_pad, TQ] (untransposed outside).
+    Selection per step: value tree-min + masked lowest-index tree-min —
+    same semantics as `_knn_kernel`, with the cross-lane reductions
+    replaced by elementwise sublane halving. Distances agree with the
+    lane layout to FMA-association noise (~2 ulp: the compiler
+    contracts the cross term differently per layout), so near-exact
+    ties can select differently within that noise — the same tolerance
+    class as the documented XLA-vs-Pallas tie notes
+    (scripts/knn_transposed_probe.py).
+    """
+    p = p_ref[0]                                             # [Np, C]
+    qt = qt_ref[0]                                           # [C, TQ]
+    C = qt.shape[0]
+    if C <= 4:
+        cross = p[:, 0:1] * qt[0:1, :]
+        for c in range(1, C):
+            cross += p[:, c:c + 1] * qt[c:c + 1, :]          # [Np, TQ]
+    else:
+        cross = lax.dot_general(
+            p, qt, (((1,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+    d = qn_ref[0] - 2.0 * cross + pn_ref[0]                  # [Np, TQ]
+
+    Np, TQ = d.shape
+    row = lax.broadcasted_iota(jnp.int32, (Np, TQ), 0)
+    if n_valid < Np:
+        d = jnp.where(row < n_valid, d, _POS_INF)
+    k_pad = dist_ref.shape[-2]
+    slot = lax.broadcasted_iota(jnp.int32, (k_pad, TQ), 0)
+    big = jnp.int32(2 ** 30)
+
+    def body(i, carry):
+        d, out_d, out_i = carry
+        m = _tree_min(d)                                     # [1, TQ]
+        hit = d <= m
+        a = _tree_min(jnp.where(hit, row, big))              # [1, TQ]
+        out_d = jnp.where(slot == i, m, out_d)
+        out_i = jnp.where(slot == i, a, out_i)
+        d = jnp.where(row == a, _POS_INF, d)                 # knockout
+        return d, out_d, out_i
+
+    _, out_d, out_i = lax.fori_loop(
+        0, k, body,
+        (d, jnp.zeros((k_pad, TQ), jnp.float32),
+         jnp.zeros((k_pad, TQ), jnp.int32)))
+    dist_ref[0] = out_d
+    idx_ref[0] = out_i
+
+
+def _knn_packed_t_kernel(p_ref, qt_ref, pn_ref, qn_ref, dist_ref,
+                         idx_ref, *, k: int, n_valid: int, nb: int):
+    """Packed kNN, sublane layout: one tree-min + one knockout sweep
+    per neighbor (see `_knn_packed_kernel` for the packing contract).
+    Neighbor sets match the lane-layout packed kernel exactly; returned
+    distances can differ by one truncation quantum (the
+    qn - 2·cross + pn accumulation runs in the transposed broadcast
+    order before truncation)."""
+    p = p_ref[0]                                             # [Np, C]
+    qt = qt_ref[0]                                           # [C, TQ]
+    C = qt.shape[0]
+    if C <= 4:
+        cross = p[:, 0:1] * qt[0:1, :]
+        for c in range(1, C):
+            cross += p[:, c:c + 1] * qt[c:c + 1, :]          # [Np, TQ]
+    else:
+        cross = lax.dot_general(
+            p, qt, (((1,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+    d = jnp.maximum(qn_ref[0] - 2.0 * cross + pn_ref[0], 0.0)
+
+    Np, TQ = d.shape
+    row = lax.broadcasted_iota(jnp.int32, (Np, TQ), 0)
+    if n_valid < Np:
+        d = jnp.where(row < n_valid, d, _POS_INF)
+    mask = (1 << nb) - 1
+    bits = lax.bitcast_convert_type(d, jnp.int32)
+    pk = lax.bitwise_or(lax.bitwise_and(bits, jnp.int32(~mask)), row)
+    k_pad = dist_ref.shape[-2]
+    slot = lax.broadcasted_iota(jnp.int32, (k_pad, TQ), 0)
+    maxi = jnp.int32(0x7FFFFFFF)
+
+    def body(i, carry):
+        pk, out_d, out_i = carry
+        m = _tree_min(pk)                                    # [1, TQ]
+        out_i = jnp.where(slot == i, lax.bitwise_and(m, mask), out_i)
+        dv = lax.bitcast_convert_type(
+            lax.bitwise_and(m, jnp.int32(~mask)), jnp.float32)
+        out_d = jnp.where(slot == i, dv, out_d)
+        pk = jnp.where(pk == m, maxi, pk)                    # knockout
+        return pk, out_d, out_i
+
+    _, out_d, out_i = lax.fori_loop(
+        0, k, body,
+        (pk, jnp.zeros((k_pad, TQ), jnp.float32),
+         jnp.zeros((k_pad, TQ), jnp.int32)))
+    dist_ref[0] = out_d
+    idx_ref[0] = out_i
+
+
+def _knn_pallas_transposed(query: jnp.ndarray, points: jnp.ndarray,
+                           k: int, tile_q: int,
+                           packed: bool) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    B, Nq, C = query.shape
+    N = points.shape[1]
+    query = query.astype(jnp.float32)
+    points = points.astype(jnp.float32)
+
+    Np = _pow2_rows(N)
+    if Np != N:
+        points = jnp.pad(points, ((0, 0), (0, Np - N), (0, 0)))
+    pad_q = (-Nq) % tile_q
+    if pad_q:
+        query = jnp.pad(query, ((0, 0), (0, pad_q), (0, 0)))
+    Cp = C if C <= 4 else -(-C // 8) * 8
+    if Cp != C:
+        query = jnp.pad(query, ((0, 0), (0, 0), (0, Cp - C)))
+        points = jnp.pad(points, ((0, 0), (0, 0), (0, Cp - C)))
+    qt = jnp.swapaxes(query, 1, 2)                           # [B, Cp, Nq]
+    pnorm = jnp.sum(points * points, axis=-1)[..., None]     # [B, Np, 1]
+    qnorm = jnp.sum(query * query, axis=-1)[:, None, :]      # [B, 1, Nq]
+    k_pad = -(-k // 8) * 8
+
+    if packed:
+        nb = max(1, (Np - 1).bit_length())
+        kernel = functools.partial(_knn_packed_t_kernel, k=k,
+                                   n_valid=N, nb=nb)
+    else:
+        kernel = functools.partial(_knn_t_kernel, k=k, n_valid=N)
+    dists, idx = pl.pallas_call(
+        kernel,
+        grid=(B, (Nq + pad_q) // tile_q),
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        in_specs=[
+            pl.BlockSpec((1, Np, Cp), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, Cp, tile_q), lambda b, i: (b, 0, i)),
+            pl.BlockSpec((1, Np, 1), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, 1, tile_q), lambda b, i: (b, 0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, k_pad, tile_q), lambda b, i: (b, 0, i)),
+            pl.BlockSpec((1, k_pad, tile_q), lambda b, i: (b, 0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, k_pad, Nq + pad_q), jnp.float32),
+            jax.ShapeDtypeStruct((B, k_pad, Nq + pad_q), jnp.int32),
+        ],
+    )(points, qt, pnorm, qnorm)
+    return (jnp.swapaxes(dists, 1, 2)[:, :Nq, :k],
+            jnp.swapaxes(idx, 1, 2)[:, :Nq, :k])
+
+
 def knn_pallas(query: jnp.ndarray, points: jnp.ndarray, k: int,
                tile_q: int = 256,
                packed: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -178,7 +393,12 @@ def knn_pallas(query: jnp.ndarray, points: jnp.ndarray, k: int,
     ``packed=True`` the selection loop runs on dist|idx packed int32s
     (~2x faster extraction; distances truncated by ceil(log2(N)) low
     mantissa bits — see _knn_packed_kernel for when that is safe).
+    Layout dispatch: see `set_extract_layout`.
     """
+    if _use_transposed(points.shape[1]):
+        return _knn_pallas_transposed(query, points, k,
+                                      min(128, max(8, query.shape[1])),
+                                      packed)
     B, Nq, C = query.shape
     N = points.shape[1]
     tile_q = min(tile_q, max(8, Nq))
@@ -286,12 +506,93 @@ def _ballq_kernel(q_ref, p_ref, pn_ref, idx_ref, *, nsample: int,
     idx_ref[0] = jnp.minimum(out, n_valid - 1)
 
 
+def _ballq_t_kernel(p_ref, qt_ref, pn_ref, qn_ref, idx_ref, *,
+                    nsample: int, n_valid: int, r2: float):
+    """Ball query, sublane layout (see `_ballq_kernel` for semantics).
+    The rank-1 cross products commute and the qn - 2·cross + pn order
+    is preserved; rim membership can still flip vs the lane layout for
+    points with |d^2 - r^2| within FMA-association noise (~1e-7) — the
+    rim tolerance class already documented on `_ballq_kernel`
+    (scripts/ballq_transposed_probe.py)."""
+    p = p_ref[0]                                             # [Np, C]
+    qt = qt_ref[0]                                           # [C, TQ]
+    C = qt.shape[0]
+    cross = p[:, 0:1] * qt[0:1, :]
+    for c in range(1, C):
+        cross += p[:, c:c + 1] * qt[c:c + 1, :]              # [Np, TQ]
+    d = qn_ref[0] - 2.0 * cross + pn_ref[0]                  # [Np, TQ]
+
+    Np, TQ = d.shape
+    k_pad = idx_ref.shape[-2]
+    sent = jnp.int32(2 ** 30)
+    row = lax.broadcasted_iota(jnp.int32, (Np, TQ), 0)
+    key = jnp.where((d <= r2) & (row < n_valid), row, sent)
+    slot = lax.broadcasted_iota(jnp.int32, (k_pad, TQ), 0)
+
+    def body(i, carry):
+        key, out = carry
+        m = _tree_min(key)                                   # [1, TQ]
+        out = jnp.where(slot == i, m, out)
+        key = jnp.where(key == m, sent, key)                 # knockout
+        return key, out
+
+    _, out = lax.fori_loop(0, nsample, body,
+                           (key, jnp.zeros((k_pad, TQ), jnp.int32)))
+    first = out[0:1]                                         # [1, TQ]
+    out = jnp.where(out == sent, jnp.broadcast_to(first, (k_pad, TQ)),
+                    out)
+    idx_ref[0] = jnp.minimum(out, n_valid - 1)
+
+
+def _ball_query_transposed(radius: float, nsample: int,
+                           xyz: jnp.ndarray, new_xyz: jnp.ndarray,
+                           tile_q: int) -> jnp.ndarray:
+    B, N, C = xyz.shape
+    S = new_xyz.shape[1]
+    query = new_xyz.astype(jnp.float32)
+    points = xyz.astype(jnp.float32)
+    pad_q = (-S) % tile_q
+    if pad_q:
+        query = jnp.pad(query, ((0, 0), (0, pad_q), (0, 0)))
+    Np = _pow2_rows(N)
+    if Np != N:
+        points = jnp.pad(points, ((0, 0), (0, Np - N), (0, 0)))
+    qt = jnp.swapaxes(query, 1, 2)                           # [B, C, S]
+    pnorm = jnp.sum(points * points, axis=-1)[..., None]     # [B, Np, 1]
+    qnorm = jnp.sum(query * query, axis=-1)[:, None, :]      # [B, 1, S]
+    k_pad = -(-nsample // 8) * 8
+
+    idx = pl.pallas_call(
+        functools.partial(_ballq_t_kernel, nsample=nsample, n_valid=N,
+                          r2=float(radius) ** 2),
+        grid=(B, (S + pad_q) // tile_q),
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        in_specs=[
+            pl.BlockSpec((1, Np, C), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, C, tile_q), lambda b, i: (b, 0, i)),
+            pl.BlockSpec((1, Np, 1), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, 1, tile_q), lambda b, i: (b, 0, i)),
+        ],
+        out_specs=pl.BlockSpec((1, k_pad, tile_q),
+                               lambda b, i: (b, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((B, k_pad, S + pad_q), jnp.int32),
+    )(points, qt, pnorm, qnorm)
+    return jnp.swapaxes(idx, 1, 2)[:, :S, :nsample]
+
+
 def ball_query_pallas(radius: float, nsample: int, xyz: jnp.ndarray,
                       new_xyz: jnp.ndarray,
                       tile_q: int = 256) -> jnp.ndarray:
     """[B, S, nsample] int32 — first ``nsample`` in-ball indices per
     center, ascending index order, padded with the first in-ball index
-    (empty balls clamp to N-1, matching the XLA path)."""
+    (empty balls clamp to N-1, matching the XLA path).
+    Layout dispatch: see `set_extract_layout`."""
+    if _use_transposed(xyz.shape[1]):
+        return _ball_query_transposed(
+            radius, nsample, xyz, new_xyz,
+            min(128, max(8, new_xyz.shape[1])))
     B, N, C = xyz.shape
     S = new_xyz.shape[1]
     query = new_xyz.astype(jnp.float32)
@@ -362,9 +663,74 @@ def _fps_kernel(x_ref, y_ref, z_ref, start_ref, out_ref, *, npoint: int,
     out_ref[:] = out
 
 
+def _fps_t_kernel(x_ref, y_ref, z_ref, start_ref, out_ref, *,
+                  npoint: int, n_valid: int):
+    """Whole-batch FPS, sublane layout: x/y/z_ref [Np, B] coordinate
+    planes (Np a power of two), start_ref [8, B] (row 0), out_ref
+    [np_pad, B]. Selection semantics match `_fps_kernel`: first-wins
+    argmax == max tree + lowest-index tie tree; the one-hot coordinate
+    extraction sums exactly one nonzero. The greedy selection is
+    tie-stable only up to FMA-association noise in the squared
+    distances (scripts/fps_transposed_probe.py checks equality on
+    generic data)."""
+    x, y, z = x_ref[:], y_ref[:], z_ref[:]                   # [Np, B]
+    Np, B = x.shape
+    np_pad = out_ref.shape[0]
+    row = lax.broadcasted_iota(jnp.int32, (Np, B), 0)
+    valid = row < n_valid
+    out_row = lax.broadcasted_iota(jnp.int32, (np_pad, B), 0)
+    big = jnp.int32(2 ** 30)
+
+    def body(i, carry):
+        dists, farthest, out = carry                         # [Np,B],[1,B]
+        out = jnp.where(out_row == i, farthest, out)
+        sel = row == farthest                                # [Np, B]
+        cx = _tree(jnp.add, jnp.where(sel, x, 0.0))          # [1, B]
+        cy = _tree(jnp.add, jnp.where(sel, y, 0.0))
+        cz = _tree(jnp.add, jnp.where(sel, z, 0.0))
+        d = (x - cx) ** 2 + (y - cy) ** 2 + (z - cz) ** 2    # [Np, B]
+        dists = jnp.minimum(dists, d)
+        masked = jnp.where(valid, dists, _NEG_INF)
+        m = _tree(jnp.maximum, masked)                       # [1, B]
+        farthest = _tree(jnp.minimum,
+                         jnp.where(masked == m, row, big))   # [1, B]
+        return dists, farthest, out
+
+    init = (jnp.full((Np, B), 1e10, x.dtype), start_ref[0:1, :],
+            jnp.zeros((np_pad, B), jnp.int32))
+    _, _, out = lax.fori_loop(0, npoint, body, init)
+    out_ref[:] = out
+
+
+def _fps_transposed_from_start(xyz: jnp.ndarray, npoint: int,
+                               start: jnp.ndarray) -> jnp.ndarray:
+    B, N, _ = xyz.shape
+    Np = _pow2_rows(N)
+    if Np != N:
+        xyz = jnp.pad(xyz, ((0, 0), (0, Np - N), (0, 0)))
+    planes = [jnp.swapaxes(xyz[..., c], 0, 1) for c in range(3)]  # [Np,B]
+    start8 = jnp.broadcast_to(start.astype(jnp.int32)[None, :], (8, B))
+    np_pad = -(-npoint // 8) * 8
+
+    out = pl.pallas_call(
+        functools.partial(_fps_t_kernel, npoint=npoint, n_valid=N),
+        interpret=_interpret(),
+        in_specs=[
+            pl.BlockSpec((Np, B), lambda: (0, 0)),
+            pl.BlockSpec((Np, B), lambda: (0, 0)),
+            pl.BlockSpec((Np, B), lambda: (0, 0)),
+            pl.BlockSpec((8, B), lambda: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((np_pad, B), lambda: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((np_pad, B), jnp.int32),
+    )(*planes, start8)
+    return jnp.swapaxes(out, 0, 1)[:, :npoint]
+
+
 def fps_pallas_from_start(xyz: jnp.ndarray, npoint: int,
                           start: jnp.ndarray) -> jnp.ndarray:
-    """FPS kernel taking explicit per-batch start indices ``[B]``."""
+    """FPS kernel taking explicit per-batch start indices ``[B]``.
+    Layout dispatch: see `set_extract_layout`."""
     B, N, _ = xyz.shape
     if B == 1:
         # Mosaic's layout inference dies (inferReshape check-fail) on
@@ -374,6 +740,8 @@ def fps_pallas_from_start(xyz: jnp.ndarray, npoint: int,
         xyz2 = jnp.concatenate([xyz, xyz], axis=0)
         start2 = jnp.concatenate([start, start], axis=0)
         return fps_pallas_from_start(xyz2, npoint, start2)[:1]
+    if _use_transposed(N):
+        return _fps_transposed_from_start(xyz, npoint, start)
     start = jnp.pad(start.reshape(B, 1).astype(jnp.int32),
                     ((0, 0), (0, 127)))                      # lane-pad
 

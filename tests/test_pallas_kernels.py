@@ -564,3 +564,95 @@ class TestPackedKNN:
             G.set_backend("auto")
         # the policy must have picked the exact kernel, not packed
         np.testing.assert_array_equal(got, exact_idx)
+
+
+class TestTransposedLayout:
+    """Sublane ("transposed") selection-loop layout vs the default.
+
+    The transposed kernels must preserve selection semantics exactly:
+    bitwise outputs for exact kNN / ball query / FPS, identical
+    neighbor SETS for the packed kNN (its distances may differ by one
+    truncation quantum from the transposed accumulation order).
+    """
+
+    @pytest.fixture
+    def sublanes(self):
+        PK.set_extract_layout("sublanes")
+        try:
+            yield
+        finally:
+            PK.set_extract_layout("lanes")
+
+    def test_layout_validation(self):
+        with pytest.raises(ValueError):
+            PK.set_extract_layout("diagonal")
+
+    @pytest.mark.parametrize("C", [3, 64])
+    def test_knn_exact_same_selection(self, rng, sublanes, C):
+        # distances agree to FMA-association noise only (~2 ulp): the
+        # compiler contracts the rank-1/dot cross term differently in
+        # the two layouts, so exact-equality of dists is fusion luck,
+        # not a contract. Selections must match on generic data.
+        q = jnp.array(rng.randn(2, 256, C).astype(np.float32))
+        p = jnp.array(rng.randn(2, 512, C).astype(np.float32))
+        PK.set_extract_layout("lanes")
+        d0, i0 = PK.knn_pallas(q, p, 12)
+        PK.set_extract_layout("sublanes")
+        d1, i1 = PK.knn_pallas(q, p, 12)
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        np.testing.assert_allclose(np.asarray(d0), np.asarray(d1),
+                                   atol=1e-5)
+
+    def test_knn_packed_same_neighbors(self, rng, sublanes):
+        x = jnp.array(rng.randn(2, 512, 64).astype(np.float32))
+        PK.set_extract_layout("lanes")
+        _, i0 = PK.knn_pallas(x, x, 20, packed=True)
+        PK.set_extract_layout("sublanes")
+        _, i1 = PK.knn_pallas(x, x, 20, packed=True)
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+    def test_knn_non_pow2_n_pads(self, rng, sublanes):
+        # N=300 pads to 512 (>25%): dispatcher must fall back to the
+        # lane layout rather than eat a 70% pad — output equality is
+        # the only externally visible contract either way
+        q = jnp.array(rng.randn(1, 40, 3).astype(np.float32))
+        p = jnp.array(rng.randn(1, 300, 3).astype(np.float32))
+        ref = G._knn_xla(q, p, 7)
+        d, i = PK.knn_pallas(q, p, 7)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ref.idx))
+        # N=224 pads to 256 (<25%): transposed path taken, same contract
+        p2 = jnp.array(rng.randn(1, 224, 3).astype(np.float32))
+        ref2 = G._knn_xla(q, p2, 7)
+        _, i2 = PK.knn_pallas(q, p2, 7)
+        np.testing.assert_array_equal(np.asarray(i2),
+                                      np.asarray(ref2.idx))
+
+    def test_ball_query_bitwise(self, rng, sublanes):
+        xyz = jnp.array((rng.rand(2, 512, 3) * 2 - 1).astype(np.float32))
+        centers = xyz[:, :128]
+        PK.set_extract_layout("lanes")
+        i0 = PK.ball_query_pallas(0.3, 24, xyz, centers)
+        PK.set_extract_layout("sublanes")
+        i1 = PK.ball_query_pallas(0.3, 24, xyz, centers)
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+    @pytest.mark.parametrize("B", [1, 3])
+    def test_fps_bitwise(self, rng, sublanes, B):
+        xyz = jnp.array(rng.randn(B, 256, 3).astype(np.float32))
+        start = jnp.array(rng.randint(0, 256, size=(B,)).astype(np.int32))
+        PK.set_extract_layout("lanes")
+        i0 = PK.fps_pallas_from_start(xyz, 64, start)
+        PK.set_extract_layout("sublanes")
+        i1 = PK.fps_pallas_from_start(xyz, 64, start)
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+    def test_geometry_dispatch_unchanged(self, rng, sublanes):
+        # public API end-to-end under the transposed layout
+        x = jnp.array(rng.randn(2, 256, 3).astype(np.float32))
+        G.set_backend("pallas")
+        try:
+            idx_t = np.asarray(G.knn_idx(x, x, 9))
+        finally:
+            G.set_backend("auto")
+        ref = np.asarray(G._knn_xla(x, x, 9).idx)
+        np.testing.assert_array_equal(idx_t, ref)
