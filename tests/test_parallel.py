@@ -232,3 +232,46 @@ class TestRingWiredAttack:
                                    atol=2e-6)
         np.testing.assert_array_equal(np.asarray(ring.pred),
                                       np.asarray(dense.pred))
+
+
+
+
+class TestShardedSublaneLayout:
+    """The sublane selection-loop layout must compose with shard_map
+    (per-shard block shapes differ from the global ones) and select
+    identically to the lane layout there."""
+
+    def test_selection_kernels_sharded_both_layouts(self, mesh):
+        from functools import partial
+        from jax.sharding import PartitionSpec as P
+        try:
+            from jax import shard_map  # jax >= 0.8
+        except ImportError:
+            from jax.experimental.shard_map import shard_map
+        from hitadv_tpu.ops import pallas_kernels as PK
+
+        xyz = np.random.RandomState(0).uniform(
+            -1, 1, size=(16, 256, 3)).astype(np.float32)
+        x = jnp.asarray(xyz)
+
+        def per_shard(xs):
+            _, i = PK.knn_pallas(xs, xs, 9)
+            bq = PK.ball_query_pallas(0.3, 16, xs, xs[:, :64])
+            fp = PK.fps_pallas_from_start(
+                xs, 64, jnp.zeros((xs.shape[0],), jnp.int32))
+            return i, bq, fp
+
+        outs = {}
+        for layout in ("lanes", "sublanes"):
+            PK.set_extract_layout(layout)
+            try:
+                f = shard_map(per_shard, mesh=mesh,
+                              in_specs=P("dp"),
+                              out_specs=P("dp"), check_vma=False)
+                outs[layout] = tuple(np.asarray(o)
+                                     for o in jax.jit(f)(x))
+            finally:
+                PK.set_extract_layout("lanes")
+        for name, a, b in zip(("knn", "ballq", "fps"),
+                              outs["lanes"], outs["sublanes"]):
+            np.testing.assert_array_equal(a, b, err_msg=name)
