@@ -31,7 +31,10 @@ def make_srs(drop_num: int, key: jax.Array) -> Callable:
 
     def srs(pc: jnp.ndarray) -> jnp.ndarray:
         B, N, _ = pc.shape
-        keep = N - drop_num
+        # drop at most half the cloud (same clamp convention as the
+        # SaliencyDrop num_drop flag, config.py) so the N=1024 default
+        # of 500 stays usable on small smoke clouds
+        keep = max(N - drop_num, (N + 1) // 2)
         keys = jax.random.split(jax.random.fold_in(key, N), B)
         idx = jax.vmap(
             lambda k: jax.random.permutation(k, N)[:keep])(keys)

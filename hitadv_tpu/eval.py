@@ -343,12 +343,26 @@ def main(argv=None) -> dict:
         nnF.set_compute_dtype(jnp.bfloat16)
 
     params, logits_fn = build_model(cfg)
+    eval_logits_fn = logits_fn
     if getattr(cfg, "defense_method", None):
+        # attack-time defense: the attacker differentiates THROUGH it
+        # (the reference's pre_head hook position, `CW/Perturb.py:99-101`)
         from hitadv_tpu.defense import defended_logits_fn, get_defense
 
         logits_fn = defended_logits_fn(
             logits_fn, get_defense(cfg.defense_method,
                                    jax.random.PRNGKey(cfg.seed)))
+        eval_logits_fn = logits_fn
+    if getattr(cfg, "eval_defense_method", None):
+        # eval-time defense: applied only when JUDGING clean/adv
+        # predictions (`eval.py:65` — declared, unimplemented in the
+        # reference), i.e. the attacker does not see it
+        from hitadv_tpu.defense import defended_logits_fn, get_defense
+
+        eval_logits_fn = defended_logits_fn(
+            eval_logits_fn,
+            get_defense(cfg.eval_defense_method,
+                        jax.random.PRNGKey(cfg.seed + 1)))
     attack = build_attack(cfg, logits_fn, params=params)
     if cfg.n_devices and cfg.n_devices > 1:
         attack = shard_attack(attack, make_mesh(cfg.n_devices))
@@ -363,7 +377,7 @@ def main(argv=None) -> dict:
 
         progress = EvalProgress(args.resume)
 
-    metrics = eval_asr(logits_fn, attack, batches,
+    metrics = eval_asr(eval_logits_fn, attack, batches,
                        key=jax.random.PRNGKey(cfg.seed),
                        uniform_k=cfg.k, log_dir=cfg.log_dir,
                        progress=progress)

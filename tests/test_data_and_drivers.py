@@ -257,6 +257,18 @@ class TestCLIMeshAndDefense:
                   "--defense_method", "sor", "--log_dir", ""])
         assert np.isfinite(m["asr"])
 
+    def test_eval_cli_eval_defense(self):
+        """--eval_defense_method defends only the JUDGING forward: the
+        attacker optimizes against the undefended model (`eval.py:65`
+        declares the flag; unimplemented in the reference)."""
+        from hitadv_tpu.eval import main
+
+        m = main(["--dataset", "synthetic", "--batch_size", "4",
+                  "--num_point", "64", "--synthetic_size", "4",
+                  "--attack_type", "FGSM", "--budget", "0.1",
+                  "--eval_defense_method", "srs", "--log_dir", ""])
+        assert np.isfinite(m["asr"])
+
 
 class TestAdvPCAutoencoderPath:
     """VERDICT.md Missing #4: AdvPC must never silently run with a
