@@ -71,7 +71,7 @@ def _global_minmax_norm(x: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
     return (x - lo) / (hi - lo + eps)
 
 
-def _deform(ori, central, pert, delta):
+def _deform(ori, central, pert, delta, negd=None):
     """tmp_adv = Σ_j (ori + pert_j)·ker_j / Σ_j ker_j — the
     kernel_density (:298-304, euclidean-norm exponent) + blend loop
     (:170-175) pair via `G.gaussian_blend`. Deliberately the plain
@@ -79,8 +79,13 @@ def _deform(ori, central, pert, delta):
     with saved residuals runs fwd+bwd(pert, delta) in the cost of
     the forward alone (0.62 ms), while the fused recompute-backward
     Pallas pair (`G.gaussian_blend_fused`) loses ~2x — the exp
-    field is compute-bound, not memory-bound."""
-    num, deno = G.gaussian_blend(central, ori, delta, pert)
+    field is compute-bound, not memory-bound.
+
+    ``negd`` is the precomputed loop-invariant distance field
+    (`G.neg_gaussian_field`): ori/central never change inside the
+    attack, so the scan body only pays the exp, not the [B,Cn,N,3]
+    diff/sqrt (bitwise-identical — see neg_gaussian_field)."""
+    num, deno = G.gaussian_blend(central, ori, delta, pert, negd=negd)
     return ori + num / (deno[..., None])
 
 
@@ -175,6 +180,10 @@ def make_inner_iter(logits_fn: Callable, adv_fn: Callable,
     proxy loss.
     """
     Cn = cfg.central_num
+    # Loop-invariant Gaussian-field distances, computed ONCE here —
+    # i.e. outside the scan body the returned closure becomes (XLA's
+    # LICM does not hoist it; profiled per-iter sqrt on v5e).
+    negd = G.neg_gaussian_field(central_points, ori)
 
     def inner_iter(carry, _):
         (pert, delta, opt_p, opt_d, weight, best, o_best, _last) = carry
@@ -185,7 +194,8 @@ def make_inner_iter(logits_fn: Callable, adv_fn: Callable,
 
         def loss_fn(pert, delta):
             with jax.named_scope("ha_deform"):
-                tmp_adv = _deform(ori, central_points, pert, delta)
+                tmp_adv = _deform(ori, central_points, pert, delta,
+                                  negd=negd)
             with jax.named_scope("ha_victim"):
                 logits = logits_fn(tmp_adv)
             adv_loss = jnp.mean(adv_fn(logits, labels))

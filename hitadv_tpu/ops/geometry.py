@@ -681,8 +681,28 @@ def group_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 # Gaussian-kernel blend (HiT-ADV deformation field)
 # ---------------------------------------------------------------------------
 
+def neg_gaussian_field(central: jnp.ndarray, ori: jnp.ndarray
+                       ) -> jnp.ndarray:
+    """``-|ori_n - central_j|`` → [B, Cn, N]: the *cloud-only* part of
+    `gaussian_blend`'s kernel argument.
+
+    In HiT-ADV both clouds are fixed for the whole attack (only
+    ``delta``/``pert`` are optimized, `ShapeAttack/HiT_ADV.py:130-137`),
+    so this field is loop-invariant across the inner Adam scan. XLA's
+    LICM does not hoist it out of the scanned while-loop (profiled on
+    v5e: the [B,Cn,N,3] diff/square/reduce/sqrt ran every iteration);
+    callers precompute it here and pass it via ``gaussian_blend``'s
+    ``negd=`` argument. Bitwise-identical: the blend computes
+    ``exp(-d / (2 delta^2))`` and IEEE negation is exact, so
+    ``exp(negd / (2 delta^2))`` produces the same bits.
+    """
+    diff = ori[:, None, :, :] - central[:, :, None, :]        # [B,Cn,N,3]
+    return -jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-24)   # [B, Cn, N]
+
+
 def gaussian_blend(central: jnp.ndarray, ori: jnp.ndarray,
-                   delta: jnp.ndarray, pert: jnp.ndarray
+                   delta: jnp.ndarray, pert: jnp.ndarray,
+                   negd: Optional[jnp.ndarray] = None
                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Gaussian-kernel deformation blend (HiT-ADV deformation field).
 
@@ -708,10 +728,14 @@ def gaussian_blend(central: jnp.ndarray, ori: jnp.ndarray,
     1.25-1.9 ms: flash-style recompute LOSES when the field is
     exp-compute-bound rather than memory-bound. Use the fused variant
     only when B*Cn*N is too large to materialize in HBM.
+
+    ``negd``: optional precomputed `neg_gaussian_field(central, ori)`.
+    Pass it when the clouds are loop-invariant (the HiT-ADV scan) so the
+    distance field is built once instead of per iteration.
     """
-    diff = ori[:, None, :, :] - central[:, :, None, :]        # [B,Cn,N,3]
-    d = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-24)       # [B, Cn, N]
-    ker = jnp.exp(-d / (2.0 * delta * delta)[..., None])
+    if negd is None:
+        negd = neg_gaussian_field(central, ori)               # [B, Cn, N]
+    ker = jnp.exp(negd / (2.0 * delta * delta)[..., None])
     deno = jnp.sum(ker, axis=1)                               # [B, N]
     num = jnp.einsum("bjc,bjn->bnc", pert, ker,
                      preferred_element_type=jnp.float32)      # [B, N, 3]

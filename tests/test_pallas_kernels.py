@@ -381,6 +381,33 @@ class TestGaussianBlend:
         return (jnp.array(central), jnp.array(ori), jnp.array(delta),
                 jnp.array(pert))
 
+    def test_precomputed_negd_is_bitwise_identical(self, rng):
+        # the HiT-ADV scan hoists the loop-invariant distance field via
+        # neg_gaussian_field + gaussian_blend(negd=...) — values AND
+        # pert/delta grads must match the inline path EXACTLY
+        central, ori, delta, pert = self._inputs(rng, B=2, Cn=12, N=200)
+        negd = G.neg_gaussian_field(central, ori)
+
+        def loss(fn):
+            def f(delta, pert):
+                num, deno = fn(delta, pert)
+                return jnp.sum(num ** 2) + jnp.sum(deno ** 2)
+            return f
+
+        base = loss(lambda d, p: G.gaussian_blend(central, ori, d, p))
+        hoist = loss(lambda d, p: G.gaussian_blend(central, ori, d, p,
+                                                   negd=negd))
+        for f_b, f_h in ((base, hoist),):
+            v_b, g_b = jax.value_and_grad(f_b, argnums=(0, 1))(delta,
+                                                               pert)
+            v_h, g_h = jax.value_and_grad(f_h, argnums=(0, 1))(delta,
+                                                               pert)
+            np.testing.assert_array_equal(np.asarray(v_b),
+                                          np.asarray(v_h))
+            for a, b in zip(g_b, g_h):
+                np.testing.assert_array_equal(np.asarray(a),
+                                              np.asarray(b))
+
     @pytest.mark.parametrize("B,Cn,N", [(2, 12, 200), (1, 192, 512),
                                         (3, 8, 100)])
     def test_fwd_matches_xla(self, rng, B, Cn, N):
