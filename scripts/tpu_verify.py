@@ -246,6 +246,34 @@ def main():
               f"first divergence per batch at steps {firsts} "
               "(near-tie flip is tolerable; investigate if early)")
 
+    # ---- gaussian_blend: hoisted negd is bitwise on HW ----
+    # The HiT-ADV scan hoists the loop-invariant distance field
+    # (G.neg_gaussian_field). CPU tests pin bitwise equality; TPU
+    # fusion could in principle differ between the two program
+    # shapes, so re-assert it on the chip (values AND pert/delta
+    # grads).
+    cb = jnp.asarray(rng.normal(size=(2, 24, 3)), jnp.float32)
+    ob = jnp.asarray(rng.normal(size=(2, 256, 3)), jnp.float32)
+    db = jnp.asarray(0.1 + rng.uniform(size=(2, 24)) * 1.1, jnp.float32)
+    pb = jnp.asarray(rng.normal(size=(2, 24, 3)) * 0.1, jnp.float32)
+
+    def _blend_loss(fn):
+        def f(delta, pert):
+            num, deno = fn(delta, pert)
+            return jnp.sum(num ** 2) + jnp.sum(deno ** 2)
+        return jax.jit(jax.value_and_grad(f, argnums=(0, 1)))
+
+    v_i, g_i = _blend_loss(
+        lambda d, p: G.gaussian_blend(cb, ob, d, p))(db, pb)
+    v_h, g_h = _blend_loss(
+        lambda d, p: G.gaussian_blend(
+            cb, ob, d, p, negd=G.neg_gaussian_field(cb, ob)))(db, pb)
+    blend_same = bool(np.array_equal(np.asarray(v_i), np.asarray(v_h))) \
+        and all(bool(np.array_equal(np.asarray(a), np.asarray(b)))
+                for a, b in zip(g_i, g_h))
+    check("gaussian_blend negd hoist bitwise", blend_same,
+          f"value inline={float(v_i):.6e} hoisted={float(v_h):.6e}")
+
     # ---- HiT-ADV end-to-end (gaussian_blend) at B=1 and B=4 ----
     from hitadv_tpu.attacks import base
     from hitadv_tpu.attacks.hit_adv import HiTADVConfig, make_hit_adv
