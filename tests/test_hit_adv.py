@@ -61,6 +61,38 @@ class TestHiTADV:
         np.testing.assert_allclose(np.asarray(tmp), np.asarray(ori),
                                    atol=1e-6)
 
+    def test_gaussian_field_hoisted_out_of_scans(self, victim):
+        # Regression guard for the loop-invariant negd hoist: the
+        # [B, Cn, N] distance-field sqrt must be traced OUTSIDE both
+        # attack scans (binary search / Adam). XLA's LICM does not
+        # rescue a refactor that moves it back into the body
+        # (profiled per-iter on v5e before the hoist).
+        pts, labels = synthetic_clouds(2, num_points=128, seed=6)
+        adv_fn = base.make_adv_fn("logits", kappa=30.0, targeted=False)
+        attack = hit_adv.make_hit_adv(victim, adv_fn, SMALL)
+        jx = jax.make_jaxpr(attack)(jnp.array(pts), jnp.array(labels),
+                                    jax.random.PRNGKey(0))
+        field = (2, SMALL.central_num, 128)
+        counts = {"top": 0, "loop": 0}
+
+        def walk(jaxpr, in_loop):
+            for eqn in jaxpr.eqns:
+                if (eqn.primitive.name == "sqrt"
+                        and tuple(eqn.outvars[0].aval.shape) == field):
+                    counts["loop" if in_loop else "top"] += 1
+                looped = in_loop or eqn.primitive.name in ("scan",
+                                                           "while")
+                for val in eqn.params.values():
+                    for item in (val if isinstance(val, (list, tuple))
+                                 else [val]):
+                        sub = getattr(item, "jaxpr", None)
+                        if sub is not None:
+                            walk(sub, looped)
+
+        walk(jx.jaxpr, False)
+        assert counts["top"] == 1, counts
+        assert counts["loop"] == 0, counts
+
     def test_deterministic_given_key(self, victim):
         pts, labels = synthetic_clouds(2, num_points=128, seed=5)
         adv_fn = base.make_adv_fn("logits", kappa=30.0, targeted=False)
