@@ -200,51 +200,66 @@ def main():
     # dists only within 1e-5). FPS greedy selection may legitimately
     # diverge after a near-tie flip — report the first-divergence step
     # instead of hard-failing on generic data.
-    q = jnp.asarray(rng.normal(size=(4, 512, 64)), jnp.float32)
-    outs = {}
-    for layout in ("lanes", "sublanes"):
-        PK.set_extract_layout(layout)
-        try:
-            d, i = jax.jit(lambda x: PK.knn_pallas(x, x, 20))(q)
-            dp, ip = jax.jit(
-                lambda x: PK.knn_pallas(x, x, 20, packed=True))(q)
-            outs[layout] = tuple(map(np.asarray, (d, i, dp, ip)))
-        finally:
-            PK.set_extract_layout("lanes")
-    same_i = np.array_equal(outs["lanes"][1], outs["sublanes"][1])
-    dd = np.max(np.abs(outs["lanes"][0] - outs["sublanes"][0]))
-    same_ip = np.array_equal(outs["lanes"][3], outs["sublanes"][3])
-    check("knn sublane layout (exact)", same_i and dd < 1e-5,
-          f"idx_equal={same_i} distdiff={dd:.1e}")
-    check("knn sublane layout (packed)", same_ip,
-          f"idx_equal={same_ip}")
+    # The sublane kernels compile on real hardware for the FIRST time
+    # here (interpret mode checks no Mosaic rules, and the sub-8-sublane
+    # tree slices are an untested pattern) — a Mosaic compile failure
+    # must record a FAIL and keep the remaining checks running, not
+    # abort the script.
+    try:
+        q = jnp.asarray(rng.normal(size=(4, 512, 64)), jnp.float32)
+        outs = {}
+        for layout in ("lanes", "sublanes"):
+            PK.set_extract_layout(layout)
+            try:
+                d, i = jax.jit(lambda x: PK.knn_pallas(x, x, 20))(q)
+                dp, ip = jax.jit(
+                    lambda x: PK.knn_pallas(x, x, 20, packed=True))(q)
+                outs[layout] = tuple(map(np.asarray, (d, i, dp, ip)))
+            finally:
+                PK.set_extract_layout("lanes")
+        same_i = np.array_equal(outs["lanes"][1], outs["sublanes"][1])
+        dd = np.max(np.abs(outs["lanes"][0] - outs["sublanes"][0]))
+        same_ip = np.array_equal(outs["lanes"][3], outs["sublanes"][3])
+        check("knn sublane layout (exact)", same_i and dd < 1e-5,
+              f"idx_equal={same_i} distdiff={dd:.1e}")
+        check("knn sublane layout (packed)", same_ip,
+              f"idx_equal={same_ip}")
+    except Exception as e:  # Mosaic compile failure
+        check("knn sublane layout", False, f"EXC {type(e).__name__}: "
+              + str(e).splitlines()[0][:160])
 
     xyz4 = jnp.asarray(rng.uniform(-1, 1, size=(4, 1024, 3)), jnp.float32)
     ctr4 = xyz4[:, :256]
-    bq = {}
-    fp = {}
-    for layout in ("lanes", "sublanes"):
-        PK.set_extract_layout(layout)
-        try:
-            bq[layout] = np.asarray(jax.jit(
-                lambda c: PK.ball_query_pallas(0.2, 32, xyz4, c))(ctr4))
-            fp[layout] = np.asarray(jax.jit(
-                lambda x: PK.fps_pallas_from_start(
-                    x, 256, jnp.zeros((4,), jnp.int32)))(xyz4))
-        finally:
-            PK.set_extract_layout("lanes")
-    bq_bad = int((bq["lanes"] != bq["sublanes"]).sum())
-    check("ball_query sublane layout", bq_bad == 0,
-          f"mismatched={bq_bad}/{bq['lanes'].size}")
-    fp_same = np.array_equal(fp["lanes"], fp["sublanes"])
-    if fp_same:
-        check("fps sublane layout", True, "identical")
-    else:
-        firsts = [int(np.argmax(r)) for r in
-                  (fp["lanes"] != fp["sublanes"])]
-        check("fps sublane layout", False,
-              f"first divergence per batch at steps {firsts} "
-              "(near-tie flip is tolerable; investigate if early)")
+    try:
+        bq = {}
+        fp = {}
+        for layout in ("lanes", "sublanes"):
+            PK.set_extract_layout(layout)
+            try:
+                bq[layout] = np.asarray(jax.jit(
+                    lambda c: PK.ball_query_pallas(0.2, 32, xyz4, c)
+                )(ctr4))
+                fp[layout] = np.asarray(jax.jit(
+                    lambda x: PK.fps_pallas_from_start(
+                        x, 256, jnp.zeros((4,), jnp.int32)))(xyz4))
+            finally:
+                PK.set_extract_layout("lanes")
+        bq_bad = int((bq["lanes"] != bq["sublanes"]).sum())
+        check("ball_query sublane layout", bq_bad == 0,
+              f"mismatched={bq_bad}/{bq['lanes'].size}")
+        fp_same = np.array_equal(fp["lanes"], fp["sublanes"])
+        if fp_same:
+            check("fps sublane layout", True, "identical")
+        else:
+            firsts = [int(np.argmax(r)) for r in
+                      (fp["lanes"] != fp["sublanes"])]
+            check("fps sublane layout", False,
+                  f"first divergence per batch at steps {firsts} "
+                  "(near-tie flip is tolerable; investigate if early)")
+    except Exception as e:  # Mosaic compile failure
+        check("ballq/fps sublane layout", False,
+              f"EXC {type(e).__name__}: "
+              + str(e).splitlines()[0][:160])
 
     # ---- gaussian_blend: hoisted negd is bitwise on HW ----
     # The HiT-ADV scan hoists the loop-invariant distance field
