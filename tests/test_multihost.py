@@ -69,6 +69,10 @@ def test_two_process_pod(tmp_path):
     assert results[0]["adv_sum"] == pytest.approx(results[1]["adv_sum"])
     assert results[0]["adv_sumsq"] == pytest.approx(
         results[1]["adv_sumsq"])
+    assert results[0]["ha_success"] == results[1]["ha_success"]
+    assert results[0]["ha_sum"] == pytest.approx(results[1]["ha_sum"])
+    assert results[0]["ha_sumsq"] == pytest.approx(
+        results[1]["ha_sumsq"])
 
     # single-process reference on the suite's own 8-device mesh
     import jax
@@ -78,9 +82,13 @@ def test_two_process_pod(tmp_path):
     from hitadv_tpu.data import synthetic_clouds
     from hitadv_tpu.models import pointnet
 
-    pts, labels = synthetic_clouds(16, num_points=64, seed=77)
-    pts = jnp.asarray(np.asarray(pts[..., :3], np.float32))
-    labels = jnp.asarray(np.asarray(labels, np.int32))
+    def synthetic_clouds_full(seed):
+        p6, lb = synthetic_clouds(16, num_points=64, seed=seed)
+        return (jnp.asarray(np.asarray(p6, np.float32)),
+                jnp.asarray(np.asarray(lb, np.int32)))
+
+    pts6_all, labels = synthetic_clouds_full(77)
+    pts = pts6_all[..., :3]
     params = pointnet.init(jax.random.PRNGKey(0))
     attack = fgm.make_ifgsm(
         lambda x: pointnet.apply(params, x),
@@ -93,3 +101,24 @@ def test_two_process_pod(tmp_path):
         float(jnp.sum(ref.adv_points)), rel=1e-5)
     assert results[0]["adv_sumsq"] == pytest.approx(
         float(jnp.sum(ref.adv_points ** 2)), rel=1e-5)
+
+    # flagship (HiT-ADV) vs the single-process dense reference: the
+    # pod's attack program carries the batch-global min/max + batch-mean
+    # weight coupling across BOTH hosts; its trajectory must reproduce
+    # the dense one (collective reduction order may reassociate sums, so
+    # approx, not bitwise — the single-host bit-identity is pinned in
+    # tests/test_parallel.py).
+    from hitadv_tpu.attacks import hit_adv
+    pts6, labels6 = synthetic_clouds_full(77)
+    ha_cfg = hit_adv.HiTADVConfig(binary_step=2, num_iter=4,
+                                  central_num=8, total_central_num=12,
+                                  curv_loss_knn=4)
+    ha_ref = hit_adv.make_hit_adv(
+        lambda x: pointnet.apply(params, x),
+        base.make_adv_fn("logits", 30.0, False), ha_cfg)(
+            pts6, labels6, jax.random.PRNGKey(5))
+    assert results[0]["ha_success"] == int(jnp.sum(ha_ref.success))
+    assert results[0]["ha_sum"] == pytest.approx(
+        float(jnp.sum(ha_ref.adv_points)), rel=1e-4)
+    assert results[0]["ha_sumsq"] == pytest.approx(
+        float(jnp.sum(ha_ref.adv_points ** 2)), rel=1e-4)
