@@ -119,6 +119,39 @@ class TestAOF:
         delta = np.abs(np.asarray(res.adv_points) - pts[..., :3])
         assert delta.max() <= 0.18 + 1e-5          # final clip
 
+    def test_eigh_in_restart_scan_only(self, victim):
+        # Placement guard: the O(N^3) eigh belongs in the RESTART scan
+        # (each restart's noisy adv0 gets its own basis, matching the
+        # reference recompute per binary step) but must never slip into
+        # the inner Adam scan — a silent ~num_iter x compile-size and
+        # runtime regression if it does.
+        pts, labels = synthetic_clouds(2, num_points=64, seed=6)
+        cfg = aof.AOFConfig(binary_step=2, num_iter=3, low_pass=10,
+                            knn=8)
+        adv_fn = base.make_adv_fn("logits", kappa=0.0, targeted=False)
+        attack = aof.make_aof(victim, adv_fn, clip, cfg)
+        jx = jax.make_jaxpr(attack)(jnp.array(pts[..., :3]),
+                                    jnp.array(labels),
+                                    jax.random.PRNGKey(0))
+        depths = []
+
+        def walk(jaxpr, depth):
+            for eqn in jaxpr.eqns:
+                if "eig" in eqn.primitive.name:
+                    depths.append(depth)
+                nxt = depth + (1 if eqn.primitive.name in ("scan",
+                                                           "while")
+                               else 0)
+                for val in eqn.params.values():
+                    for item in (val if isinstance(val, (list, tuple))
+                                 else [val]):
+                        sub = getattr(item, "jaxpr", None)
+                        if sub is not None:
+                            walk(sub, nxt)
+
+        walk(jx.jaxpr, 0)
+        assert depths == [1], depths    # restart scan, not inner
+
     def test_ae_variant(self, victim, ae):
         pts, labels = synthetic_clouds(2, num_points=128, seed=6)
         cfg = aof.AOFConfig(binary_step=1, num_iter=3, low_pass=20,
