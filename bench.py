@@ -120,9 +120,16 @@ def _bench_hit_adv(jax, jnp, victim="pointnet", B=64, N=1024, bf16=True,
                       jnp.zeros_like(ori))
             step_flops = _program_flops(
                 jax, lambda c: inner(c, None)[0], carry0)
-            setup_flops = _program_flops(
-                jax, lambda p, l: hit_adv.prepare_centrals(
-                    logits_fn, cfg, p, l), pts, labels) or 0.0
+
+            def _setup(p, l):
+                # stage-1/2 prep PLUS the loop-invariant Gaussian
+                # distance field, which the hoist moved out of the
+                # per-iteration body (attacks/hit_adv.py)
+                o, cp, ck = hit_adv.prepare_centrals(logits_fn, cfg,
+                                                     p, l)
+                return o, cp, ck, _G.neg_gaussian_field(cp, o)
+
+            setup_flops = _program_flops(jax, _setup, pts, labels) or 0.0
         finally:
             _G.set_backend("auto")
         if step_flops:
