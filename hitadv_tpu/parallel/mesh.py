@@ -70,6 +70,15 @@ def shard_attack(attack_fn: Callable, mesh: Mesh,
     repl = replicate(mesh)
 
     def wrapped(points, labels, key=None):
+        n_dev = mesh.devices.size
+        # under jax.distributed the caller passes the HOST-LOCAL shard
+        b_global = (len(points) * jax.process_count()
+                    if jax.process_count() > 1 else len(points))
+        if b_global % n_dev:
+            raise ValueError(
+                f"shard_attack: global batch {b_global} is not divisible"
+                f" by the {n_dev}-device mesh — pad the batch or shrink"
+                " the mesh (parallel.make_mesh(n_devices=...))")
         points = put_batch(points, in_shard)
         labels = put_batch(labels, in_shard)
         if key is not None:

@@ -47,6 +47,18 @@ class TestRingSetDistances:
 
 
 class TestShardedAttack:
+    def test_indivisible_batch_raises_clearly(self, mesh):
+        pts, labels = synthetic_clouds(6, num_points=32, seed=0)
+        params = pointnet.init(jax.random.PRNGKey(0))
+        attack = fgm.make_fgsm(
+            lambda x: pointnet.apply(params, x),
+            base.make_adv_fn("cross_entropy"),
+            fgm.FGMConfig(budget=0.1))
+        sharded = shard_attack(attack, mesh)
+        with pytest.raises(ValueError, match="not divisible"):
+            sharded(jnp.array(pts[..., :3]), jnp.array(labels),
+                    jax.random.PRNGKey(0))
+
     def test_sharded_matches_single_device(self, mesh):
         """Batch-sharded attack must produce identical results to the
         unsharded program (pure data parallelism, same PRNG)."""
