@@ -31,10 +31,11 @@ def make_srs(drop_num: int, key: jax.Array) -> Callable:
 
     def srs(pc: jnp.ndarray) -> jnp.ndarray:
         B, N, _ = pc.shape
-        # drop at most half the cloud (same clamp convention as the
-        # SaliencyDrop num_drop flag, config.py) so the N=1024 default
-        # of 500 stays usable on small smoke clouds
-        keep = max(N - drop_num, (N + 1) // 2)
+        # honor the drop_num contract exactly whenever it is satisfiable;
+        # only the degenerate N <= drop_num case clamps (to one surviving
+        # point), so smoke-size clouds survive instead of crashing the
+        # permutation gather
+        keep = max(N - drop_num, 1)
         keys = jax.random.split(jax.random.fold_in(key, N), B)
         idx = jax.vmap(
             lambda k: jax.random.permutation(k, N)[:keep])(keys)

@@ -113,6 +113,13 @@ def build_attack(cfg: EvalConfig, logits_fn: Callable,
         if cfg.dist_func != "chamfer":
             raise ValueError(f"dist_func {cfg.dist_func!r}")
         if cfg.sp_devices and cfg.sp_devices > 1:
+            if cfg.n_devices and cfg.n_devices > 1:
+                raise ValueError(
+                    "--sp_devices (points sharded over a ring mesh) and"
+                    " --n_devices (batch-sharded attack) are mutually"
+                    " exclusive: the ring's shard_map closes over its"
+                    " own mesh and cannot nest inside the dp-sharded"
+                    " program — pick one axis to shard")
             from hitadv_tpu.parallel import make_mesh, ring_chamfer
 
             sp_mesh = make_mesh(cfg.sp_devices, axis_name="sp")

@@ -59,12 +59,7 @@ def _local_op_fused(p, points, fps_idx, idx):
     center broadcast, and the grouped-space matmul (the center term
     runs on S rows instead of S·ns). Reassociation-level drift only.
     """
-    lin, bn = p["conv1"], p["bn1"]
-    s = jax.lax.rsqrt(bn["var"] + 1e-5) * bn["scale"]
-    b = bn["bias"] - bn["mean"] * s
-    if "b" in lin:
-        b = b + lin["b"] * s
-    W = lin["w"] * s[None]                                    # [2D, C]
+    W, b = F.fold_bn(p["conv1"], p["bn1"])                    # [2D, C]
     D = points.shape[-1]
     q = F.linear({"w": W[:D]}, points)                        # [B, N, C]
     center = G.index_points(points, fps_idx)                  # [B, S, D]

@@ -79,12 +79,7 @@ def _sa_apply(params: Dict, cfg: SAConfig, xyz: jnp.ndarray,
             idx = G.query_ball_point(cfg.radius, cfg.nsample, xyz,
                                      new_xyz)                 # [B, S, ns]
         with jax.named_scope(f"{tag}_proj"):
-            lin, bn = params["conv0"], params["bn0"]
-            s = bn["scale"] * jax.lax.rsqrt(bn["var"] + 1e-5)
-            b = bn["bias"] - bn["mean"] * s
-            if "b" in lin:
-                b = b + lin["b"] * s
-            W = lin["w"] * s[None]                            # [3+D, C1]
+            W, b = F.fold_bn(params["conv0"], params["bn0"])  # [3+D, C1]
             q = F.linear({"w": W[:3]}, xyz)                   # [B, N, C1]
             if points is not None:
                 q = q + F.linear({"w": W[3:]}, points)

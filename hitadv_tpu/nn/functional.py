@@ -16,7 +16,7 @@ scales even before a checkpoint is loaded.
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -266,22 +266,36 @@ def leaky_relu(x: jnp.ndarray, negative_slope: float = 0.2) -> jnp.ndarray:
     return jnp.where(x >= 0, x, negative_slope * x)
 
 
+def fold_bn(lin: Params, bn: Params,
+            eps: float = 1e-5) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fold an eval-mode BN affine into the preceding linear's weights:
+    bn(xW + b) = x(W·s) + ((b - μ)·s + β), s = scale·rsqrt(var + eps).
+    Returns the folded ``(w, b)``. THE single definition of the fold —
+    the project-then-gather paths (pointnet2._sa_apply,
+    pct._local_op_fused) and the fused max-pool path split the folded
+    pieces around their gathers and must stay bit-identical to
+    ``linear_bn``'s algebra (tests/test_project_then_gather.py pins the
+    equivalence).
+    """
+    s = bn["scale"] * jax.lax.rsqrt(bn["var"] + eps)
+    b = bn["bias"] - bn["mean"] * s
+    if "b" in lin:
+        b = b + lin["b"] * s
+    return lin["w"] * s[None], b
+
+
 def linear_bn(lin: Params, bn: Params, x: jnp.ndarray,
               eps: float = 1e-5) -> jnp.ndarray:
     """linear followed by batchnorm, with the eval-mode BN affine folded
-    into the matmul: bn(xW + b) = x(W·s) + ((b - μ)·s + β),
-    s = scale·rsqrt(var + eps). Exact algebra (reassociation-level
+    into the matmul (``fold_bn``). Exact algebra (reassociation-level
     drift); measured 1.4x on a bf16 conv-bn-relu chain at attack shapes
     (the separate normalize pass and its f32 round-trip disappear).
     Inside ``bn_training`` the explicit batch-stat batchnorm runs.
     """
     if bn_is_training():
         return batchnorm(bn, linear(lin, x), eps)
-    s = bn["scale"] * jax.lax.rsqrt(bn["var"] + eps)
-    b = bn["bias"] - bn["mean"] * s
-    if "b" in lin:
-        b = b + lin["b"] * s
-    return linear({"w": lin["w"] * s[None], "b": b}, x)
+    w, b = fold_bn(lin, bn, eps)
+    return linear({"w": w, "b": b}, x)
 
 
 def linear_bn_max(lin: Params, bn: Params, x: jnp.ndarray,
@@ -314,12 +328,9 @@ def linear_bn_max(lin: Params, bn: Params, x: jnp.ndarray,
     if (not bn_is_training()) and _pallas_active() \
             and x.dtype in (jnp.bfloat16, jnp.float32) \
             and x.shape[1] >= 16:
-        s = bn["scale"] * jax.lax.rsqrt(bn["var"] + eps)
-        b = bn["bias"] - bn["mean"] * s
-        if "b" in lin:
-            b = b + lin["b"] * s
-        w = (lin["w"] * s[None]).astype(x.dtype)
-        return _max_linear_fused(x, w, b.astype(jnp.float32))
+        w, b = fold_bn(lin, bn, eps)
+        return _max_linear_fused(x, w.astype(x.dtype),
+                                 b.astype(jnp.float32))
     return jnp.max(linear_bn(lin, bn, x, eps), axis=1)
 
 
@@ -409,11 +420,8 @@ def mlp_apply(params: Dict[str, Params], x: jnp.ndarray,
     for i in range(start, n):
         lin, bn = params[f"conv{i}"], params[f"bn{i}"]
         if fold:
-            s = bn["scale"] * jax.lax.rsqrt(bn["var"] + 1e-5)
-            b = bn["bias"] - bn["mean"] * s
-            if "b" in lin:
-                b = b + lin["b"] * s
-            x = linear({"w": lin["w"] * s[None], "b": b}, x)
+            w, b = fold_bn(lin, bn)
+            x = linear({"w": w, "b": b}, x)
         else:
             x = batchnorm(bn, linear(lin, x))
         if act is not None and (last_act or i < n - 1):

@@ -60,15 +60,18 @@ def _interpret() -> bool:
 # The candidate axis is padded to a power of two in "sublanes" (masked
 # rows); the dispatcher falls back to "lanes" when that pad exceeds 25%.
 
-_EXTRACT_LAYOUT = os.environ.get("HITADV_EXTRACT_LAYOUT", "lanes")
-
-
 def set_extract_layout(layout: str) -> None:
     """Select the selection-loop layout: "lanes" | "sublanes"."""
     global _EXTRACT_LAYOUT
     if layout not in ("lanes", "sublanes"):
         raise ValueError(f"unknown extract layout: {layout!r}")
     _EXTRACT_LAYOUT = layout
+
+
+# The env override goes through the same validation as the setter: a
+# typo'd HITADV_EXTRACT_LAYOUT must fail loudly, not silently measure
+# the default layout while reporting the experiment's name.
+set_extract_layout(os.environ.get("HITADV_EXTRACT_LAYOUT", "lanes"))
 
 
 def _pow2_rows(n: int) -> int:
@@ -396,8 +399,11 @@ def knn_pallas(query: jnp.ndarray, points: jnp.ndarray, k: int,
     Layout dispatch: see `set_extract_layout`.
     """
     if _use_transposed(points.shape[1]):
+        # queries sit on the LANE axis in this layout, so the tile is
+        # additionally capped at the 128-lane register width
         return _knn_pallas_transposed(query, points, k,
-                                      min(128, max(8, query.shape[1])),
+                                      min(tile_q, 128,
+                                          max(8, query.shape[1])),
                                       packed)
     B, Nq, C = query.shape
     N = points.shape[1]

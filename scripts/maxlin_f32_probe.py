@@ -28,11 +28,15 @@ def _time_scan(jax, jnp, step, init, iters=50):
     def run(x):
         out, _ = lax.scan(lambda c, _: (step(c), None), x, None,
                           length=iters)
-        return out
+        # reduce to a SCALAR inside the jit: pulling the [64,1024,128]
+        # carry through the relay tunnel costs up to ~1 s on a congested
+        # relay (~20 ms/iter at iters=50), swamping the ~1 ms kernels
+        # under comparison (CLAUDE.md timing rules)
+        return sum(jnp.sum(leaf) for leaf in jax.tree.leaves(out))
 
-    np.asarray(jax.tree.leaves(run(init))[0])        # compile
+    float(run(init))                                 # compile
     t0 = time.perf_counter()
-    np.asarray(jax.tree.leaves(run(init))[0])
+    float(run(init))
     return (time.perf_counter() - t0) / iters * 1e3  # ms/iter
 
 

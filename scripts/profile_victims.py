@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 import numpy as np
 
 
-def _top_ops(trace_dir: str, top: int = None):
+def _top_ops(trace_dir: str, top: int = None, n_iters: int = None):
     top = top or int(os.environ.get("PROF_TOP", "18"))
     from xprof.convert import raw_to_tool_data as r2t
 
@@ -58,8 +58,16 @@ def _top_ops(trace_dir: str, top: int = None):
     # scanned attack body) and one-time prep reported separately
     from collections import defaultdict
     per_iter, prep = defaultdict(float), defaultdict(float)
-    occs = [g(r, "occurrences") or 0 for r in rows]
-    iters = max(occs) if occs else 1
+    # classification threshold: the ATTACK's true scan length when the
+    # caller knows it (an op invoked twice per body dedups to
+    # occurrences = 2*n_iters — still per-iter; with max(occs) it would
+    # instead reclassify every once-per-iter op as "prep" and halve the
+    # reported ms/iter). Fallback: the max occurrence count.
+    if n_iters:
+        iters = n_iters
+    else:
+        occs = [g(r, "occurrences") or 0 for r in rows]
+        iters = max(occs) if occs else 1
     for r in rows:
         src = strip(g(r, "source_info")).replace("/root/repo/", "")
         tgt = per_iter if (g(r, "occurrences") or 0) >= iters else prep
@@ -123,7 +131,7 @@ def main():
             res = attack(pts, labels, jax.random.PRNGKey(1))
             np.asarray(res.adv_points)
         print(f"== {name} (25-iter HiT-ADV, B={B}, bf16) ==", flush=True)
-        _top_ops(out)
+        _top_ops(out, n_iters=cfg.binary_step * cfg.num_iter)
 
 
 if __name__ == "__main__":

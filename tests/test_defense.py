@@ -31,6 +31,19 @@ class TestDefenses:
         for p in out[0]:
             assert tuple(np.round(p, 5)) in ori_set
 
+    def test_srs_honors_drop_num(self, rng):
+        """drop_num is a contract whenever N > drop_num: exactly
+        N - drop_num distinct survivors (mid-size clouds must not be
+        silently defended less); degenerate N <= drop_num keeps 1."""
+        pc = rng.rand(1, 64, 3).astype(np.float32)
+        srs = defense.make_srs(drop_num=50, key=jax.random.PRNGKey(1))
+        out = np.asarray(srs(jnp.array(pc)))
+        assert out.shape == pc.shape
+        assert len({tuple(p) for p in out[0]}) == 64 - 50
+        srs = defense.make_srs(drop_num=64, key=jax.random.PRNGKey(1))
+        out = np.asarray(srs(jnp.array(pc)))
+        assert len({tuple(p) for p in out[0]}) == 1
+
     def test_jitter_bounds(self, rng):
         pc = jnp.zeros((1, 32, 3))
         jit = defense.make_jitter(sigma=1.0, clip=0.05)

@@ -245,6 +245,20 @@ class TestRingWiredAttack:
         np.testing.assert_array_equal(np.asarray(ring.pred),
                                       np.asarray(dense.pred))
 
+    def test_sp_devices_excludes_n_devices(self):
+        """Points-sharding (--sp_devices) and batch-sharding
+        (--n_devices) cannot nest in one program — build_attack must
+        say so instead of dying in XLA device assignment."""
+        from hitadv_tpu.config import EvalConfig
+        from hitadv_tpu.eval import build_attack, build_model
+
+        cfg = EvalConfig(model="pointnet", attack_type="CW-Perturb",
+                         dist_func="chamfer", num_point=256,
+                         sp_devices=4, n_devices=2)
+        params, logits_fn = build_model(cfg)
+        with pytest.raises(ValueError, match="mutually"):
+            build_attack(cfg, logits_fn)
+
 
 
 
