@@ -104,6 +104,16 @@ class EvalConfig:
     dist_func: Optional[str] = None
     sp_devices: int = 0
 
+    # Population parallelism (SURVEY.md §2.8 "optional population
+    # parallelism: independent restarts across devices"): run R
+    # PRNG-independent instances of the attack on the SAME batch and
+    # keep, per example, the first successful restart's cloud
+    # (`parallel/population.py`). When R divides the device count the
+    # restart axis is sharded over the mesh — a pure-compute scale-out.
+    # Mutually exclusive with n_devices/sp_devices (one mesh axis per
+    # attack program).
+    restarts: int = 0
+
 
 def add_config_flags(parser: argparse.ArgumentParser,
                      cfg_cls=EvalConfig) -> None:

@@ -371,7 +371,23 @@ def main(argv=None) -> dict:
             get_defense(cfg.eval_defense_method,
                         jax.random.PRNGKey(cfg.seed + 1)))
     attack = build_attack(cfg, logits_fn, params=params)
-    if cfg.n_devices and cfg.n_devices > 1:
+    if cfg.restarts and cfg.restarts > 1:
+        # population parallelism: R PRNG-independent restarts of the
+        # same batch, first-success selection per example
+        # (`parallel/population.py`; SURVEY.md §2.8)
+        if (cfg.n_devices and cfg.n_devices > 1) or cfg.sp_devices > 1:
+            raise ValueError(
+                "--restarts shards the restart axis over the mesh and is"
+                " mutually exclusive with --n_devices (batch sharding)"
+                " and --sp_devices (points-sharded ring) — one mesh axis"
+                " per attack program")
+        from hitadv_tpu.parallel import population_attack
+
+        n_dev = len(jax.devices())
+        pop_mesh = (make_mesh(n_dev) if n_dev > 1
+                    and cfg.restarts % n_dev == 0 else None)
+        attack = population_attack(attack, cfg.restarts, mesh=pop_mesh)
+    elif cfg.n_devices and cfg.n_devices > 1:
         attack = shard_attack(attack, make_mesh(cfg.n_devices))
 
     batches = build_batches(cfg)

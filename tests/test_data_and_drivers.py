@@ -270,6 +270,72 @@ class TestCLIMeshAndDefense:
         assert np.isfinite(m["asr"])
 
 
+class TestCLIRestarts:
+    """--restarts R: population parallelism through the eval CLI
+    (`parallel/population.py` wired in `eval.py::main`; SURVEY.md §2.8
+    "independent restarts across devices")."""
+
+    def test_eval_cli_restarts(self):
+        from hitadv_tpu.eval import main
+
+        m = main(["--dataset", "synthetic", "--batch_size", "8",
+                  "--num_point", "64", "--synthetic_size", "8",
+                  "--attack_type", "FGSM_RS", "--budget", "0.05",
+                  "--num_iter", "2", "--restarts", "8",
+                  "--log_dir", ""])
+        assert np.isfinite(m["asr"])
+
+    def test_restart_superset_of_successes_e2e(self):
+        """The population-wrapped attack built by the driver keeps, per
+        example, the OR of the restarts' successes: every example any
+        individual restart cracks is cracked by the --restarts run."""
+        import jax
+        import jax.numpy as jnp
+        from hitadv_tpu import data
+        from hitadv_tpu.config import EvalConfig
+        from hitadv_tpu.eval import build_attack, build_model
+        from hitadv_tpu.parallel import population_attack
+
+        cfg = EvalConfig(dataset="synthetic", batch_size=8, num_point=64,
+                         synthetic_size=8, attack_type="FGSM_RS",
+                         budget=0.05, num_iter=2, restarts=4, log_dir="")
+        params, logits_fn = build_model(cfg)
+        attack = build_attack(cfg, logits_fn, params=params)
+        pts, labels = next(iter(data.synthetic_batches(
+            1, cfg.batch_size, cfg.num_point, cfg.num_class, seed=0)))
+        pts, labels = jnp.asarray(pts), jnp.asarray(labels)
+        key = jax.random.PRNGKey(0)
+        pop = population_attack(attack, cfg.restarts)(pts, labels, key)
+        singles = [attack(pts, labels, k)
+                   for k in jax.random.split(key, cfg.restarts)]
+        union = np.zeros(cfg.batch_size, bool)
+        for s in singles:
+            union |= np.asarray(s.success)
+        np.testing.assert_array_equal(np.asarray(pop.success), union)
+        # picked clouds come from the FIRST successful restart
+        first = np.argmax(np.stack(
+            [np.asarray(s.success) for s in singles]), axis=0)
+        for b in range(cfg.batch_size):
+            if union[b]:
+                np.testing.assert_allclose(
+                    np.asarray(pop.adv_points)[b],
+                    np.asarray(singles[first[b]].adv_points)[b],
+                    atol=1e-6)
+
+    def test_restarts_mesh_exclusive(self):
+        from hitadv_tpu.eval import main
+
+        args = ["--dataset", "synthetic", "--batch_size", "8",
+                "--num_point", "64", "--synthetic_size", "8",
+                "--attack_type", "FGSM_RS", "--restarts", "4",
+                "--log_dir", ""]
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            main(args + ["--n_devices", "8"])
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            main(args + ["--dist_func", "chamfer", "--sp_devices", "2",
+                         "--attack_type", "CW-Perturb"])
+
+
 class TestAdvPCAutoencoderPath:
     """VERDICT.md Missing #4: AdvPC must never silently run with a
     random AE (`CW/AdvPC.py:83-99,142` assume a pretrained one)."""
