@@ -41,11 +41,17 @@ DATA_DIR = os.environ.get(
 CKPT = os.environ.get(
     "HITADV_POINTNET_CKPT",
     os.path.join(REPO, "checkpoints", "pointnet_cls.pth"))
+# DGCNN-format HDF5 variant — publicly mirrored; fetched (checksummed)
+# by `scripts/fetch_modelnet40.py`
+H5_DIR = os.environ.get(
+    "HITADV_MODELNET40_H5_DIR",
+    os.path.join(REPO, "data", "modelnet40_ply_hdf5_2048"))
 
 HAVE_DATA = (os.path.isdir(DATA_DIR)
              and os.path.exists(os.path.join(DATA_DIR,
                                              "modelnet40_shape_names.txt")))
 HAVE_CKPT = os.path.isfile(CKPT)
+HAVE_H5 = os.path.isfile(os.path.join(H5_DIR, "ply_data_test0.h5"))
 FULL = os.environ.get("HITADV_REALDATA_FULL", "0") == "1"
 
 
@@ -124,3 +130,63 @@ class TestRealModelNet40:
             # The reference value must be measured by running the torch
             # pipeline on the same blobs; record it here when available.
             print("FULL ModelNet40 HiT-ADV metrics:", metrics)
+
+
+@pytest.mark.skipif(not HAVE_H5, reason=(
+    f"modelnet40_ply_hdf5_2048 not present at {H5_DIR} — fetch it with "
+    "scripts/fetch_modelnet40.py (needs network egress)"))
+class TestRealModelNet40H5:
+    """On-ramp for the publicly-mirrored DGCNN-format HDF5 ModelNet40
+    (`Dataset/data.py:76-91`), fetched checksummed by
+    `scripts/fetch_modelnet40.py`. Runs the real test split through the
+    same loaders and attack builder the CLI uses."""
+
+    @pytest.fixture(scope="class")
+    def h5_test(self):
+        from hitadv_tpu import data
+
+        return data.ModelNet40H5(H5_DIR, num_points=1024,
+                                 partition="test")
+
+    def test_split_contract(self, h5_test):
+        from hitadv_tpu.data import load_h5_cls
+
+        assert len(h5_test) == 2468                 # reference test split
+        pts, label = h5_test[0]
+        assert pts.shape == (1024, 3)
+        assert 0 <= label < 40
+        _, labels = load_h5_cls(H5_DIR, "test")
+        assert labels.min() >= 0 and labels.max() == 39
+
+    def test_hit_adv_on_real_h5(self, h5_test):
+        import jax
+        import jax.numpy as jnp
+
+        from hitadv_tpu import evaluation
+        from hitadv_tpu.config import EvalConfig
+        from hitadv_tpu.eval import build_attack, build_model
+
+        n = 256 if FULL else 16
+        pts = np.stack([h5_test[i][0] for i in range(n)])
+        labels = np.asarray([h5_test[i][1] for i in range(n)],
+                            dtype=np.int64)
+        cfg = EvalConfig(
+            model="pointnet",
+            checkpoint=CKPT if HAVE_CKPT else None,
+            attack_type="HiT-ADV", budget=0.55,
+            central_num=192 if FULL else 16,
+            total_central_num=256 if FULL else 24,
+            binary_step=10 if FULL else 2,
+            num_iter=100 if FULL else 10)
+        _, logits_fn = build_model(cfg)
+        attack = build_attack(cfg, logits_fn)
+        bs = 16
+        batches = [(pts[i:i + bs], labels[i:i + bs])
+                   for i in range(0, n, bs)]
+        metrics = evaluation.eval_asr(logits_fn, attack, batches,
+                                      key=jax.random.PRNGKey(0),
+                                      verbose=False)
+        assert np.isfinite(metrics["knn_dist"])
+        assert 0.0 < metrics["asr"] <= 1.0
+        if FULL and HAVE_CKPT:
+            print("FULL h5 ModelNet40 HiT-ADV metrics:", metrics)
