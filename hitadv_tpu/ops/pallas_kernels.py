@@ -59,28 +59,50 @@ def _interpret() -> bool:
 #     identical neighbor sets for the packed kernel).
 # The candidate axis is padded to a power of two in "sublanes" (masked
 # rows); the dispatcher falls back to "lanes" when that pad exceeds 25%.
+#
+# Hardware verdict (round 4, v5e — scripts/{knn,ballq,fps}_
+# transposed_probe.py): the trade is PER-OP, not global. At the DGCNN/
+# PN++ shapes the sublane layout wins the kNN selection loop (exact
+# 1.48→1.20 ms; packed 1.30→0.92) and ball query (0.91→0.68), but
+# LOSES FPS ~2.5x (0.30→0.76 at npoint=512): FPS's per-step cost is
+# one argmax over a [B, N] running-min array — a single cross-lane
+# reduction the lane layout already amortizes over its huge parallel
+# update step, while the transposed kernel pays the halving tree on
+# the critical serial path npoint times. Default "auto" encodes that
+# verdict; "lanes"/"sublanes" force one layout everywhere (probes,
+# regression hunts).
+
+_AUTO_SUBLANE_OPS = frozenset({"knn_exact", "knn_packed", "ballq"})
+
 
 def set_extract_layout(layout: str) -> None:
-    """Select the selection-loop layout: "lanes" | "sublanes"."""
+    """Selection-loop layout: "auto" (per-op) | "lanes" | "sublanes"."""
     global _EXTRACT_LAYOUT
-    if layout not in ("lanes", "sublanes"):
+    if layout not in ("auto", "lanes", "sublanes"):
         raise ValueError(f"unknown extract layout: {layout!r}")
     _EXTRACT_LAYOUT = layout
+
+
+def get_extract_layout() -> str:
+    return _EXTRACT_LAYOUT
 
 
 # The env override goes through the same validation as the setter: a
 # typo'd HITADV_EXTRACT_LAYOUT must fail loudly, not silently measure
 # the default layout while reporting the experiment's name.
-set_extract_layout(os.environ.get("HITADV_EXTRACT_LAYOUT", "lanes"))
+set_extract_layout(os.environ.get("HITADV_EXTRACT_LAYOUT", "auto"))
 
 
 def _pow2_rows(n: int) -> int:
     return 1 << max(3, (n - 1).bit_length())
 
 
-def _use_transposed(n_candidates: int) -> bool:
-    return (_EXTRACT_LAYOUT == "sublanes"
-            and 4 * _pow2_rows(n_candidates) <= 5 * n_candidates)
+def _use_transposed(n_candidates: int, op: str = "knn_exact") -> bool:
+    if _EXTRACT_LAYOUT == "lanes":
+        return False
+    if _EXTRACT_LAYOUT == "auto" and op not in _AUTO_SUBLANE_OPS:
+        return False
+    return 4 * _pow2_rows(n_candidates) <= 5 * n_candidates
 
 
 def _tree(op, t: jnp.ndarray) -> jnp.ndarray:
@@ -105,7 +127,7 @@ _POS_INF = float("inf")
 # ---------------------------------------------------------------------------
 
 def _knn_kernel(q_ref, p_ref, pn_ref, dist_ref, idx_ref, *, k: int,
-                n_valid: int):
+                n_valid: int, dot_precision=None):
     """One (batch, query-tile) program.
 
     q_ref: [1, TQ, 3] queries; p_ref: [1, N, 3] points;
@@ -125,10 +147,12 @@ def _knn_kernel(q_ref, p_ref, pn_ref, dist_ref, idx_ref, *, k: int,
             cross += q[:, c:c + 1] * p[:, c][None, :]        # [TQ, N]
     else:
         # feature-space kNN (DGCNN edge conv, C up to 256): real matmul
-        # on the MXU at full f32 precision.
+        # on the MXU. HIGHEST for real f32 data; DEFAULT (one pass, not
+        # six) when the wrapper proved the operands bf16-valued — see
+        # `_knn_dot_precision`.
         cross = jax.lax.dot_general(
             q, p, (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=dot_precision or jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
     d = qn - 2.0 * cross + pn_ref[0]                         # [TQ, N]
 
@@ -160,7 +184,8 @@ def _knn_kernel(q_ref, p_ref, pn_ref, dist_ref, idx_ref, *, k: int,
 
 
 def _knn_packed_kernel(q_ref, p_ref, pn_ref, dist_ref, idx_ref, *,
-                       k: int, n_valid: int, nb: int):
+                       k: int, n_valid: int, nb: int,
+                       dot_precision=None):
     """Single-reduction variant: distance and index packed into ONE
     int32 per candidate — low ``nb`` bits carry the column index, the
     upper bits the f32 distance pattern (d clamped >= 0, so the int32
@@ -188,7 +213,7 @@ def _knn_packed_kernel(q_ref, p_ref, pn_ref, dist_ref, idx_ref, *,
     else:
         cross = jax.lax.dot_general(
             q, p, (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=dot_precision or jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
     d = jnp.maximum(qn - 2.0 * cross + pn_ref[0], 0.0)       # [TQ, N]
 
@@ -226,7 +251,7 @@ def _knn_packed_kernel(q_ref, p_ref, pn_ref, dist_ref, idx_ref, *,
 
 
 def _knn_t_kernel(p_ref, qt_ref, pn_ref, qn_ref, dist_ref, idx_ref, *,
-                  k: int, n_valid: int):
+                  k: int, n_valid: int, dot_precision=None):
     """Exact kNN, sublane layout — one (batch, query-tile) program.
 
     p_ref [1, Np, C] points (Np a power of two, padded rows masked);
@@ -251,7 +276,7 @@ def _knn_t_kernel(p_ref, qt_ref, pn_ref, qn_ref, dist_ref, idx_ref, *,
     else:
         cross = lax.dot_general(
             p, qt, (((1,), (0,)), ((), ())),
-            precision=lax.Precision.HIGHEST,
+            precision=dot_precision or lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
     d = qn_ref[0] - 2.0 * cross + pn_ref[0]                  # [Np, TQ]
 
@@ -282,7 +307,8 @@ def _knn_t_kernel(p_ref, qt_ref, pn_ref, qn_ref, dist_ref, idx_ref, *,
 
 
 def _knn_packed_t_kernel(p_ref, qt_ref, pn_ref, qn_ref, dist_ref,
-                         idx_ref, *, k: int, n_valid: int, nb: int):
+                         idx_ref, *, k: int, n_valid: int, nb: int,
+                         dot_precision=None):
     """Packed kNN, sublane layout: one tree-min + one knockout sweep
     per neighbor (see `_knn_packed_kernel` for the packing contract).
     Neighbor sets match the lane-layout packed kernel exactly; returned
@@ -299,7 +325,7 @@ def _knn_packed_t_kernel(p_ref, qt_ref, pn_ref, qn_ref, dist_ref,
     else:
         cross = lax.dot_general(
             p, qt, (((1,), (0,)), ((), ())),
-            precision=lax.Precision.HIGHEST,
+            precision=dot_precision or lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
     d = jnp.maximum(qn_ref[0] - 2.0 * cross + pn_ref[0], 0.0)
 
@@ -332,11 +358,27 @@ def _knn_packed_t_kernel(p_ref, qt_ref, pn_ref, qn_ref, dist_ref,
     idx_ref[0] = out_i
 
 
+def _knn_dot_precision(query: jnp.ndarray, points: jnp.ndarray):
+    """In-kernel precision for the feature-space cross-term matmul.
+
+    Real f32 data needs HIGHEST (the MXU's DEFAULT rounds f32 operands
+    to bf16 — CLAUDE.md Mosaic rule 5: one-hot "exact" matmuls were off
+    by 2e-2). When BOTH operands arrive as bf16 (bf16 attack mode's
+    feature kNN), the f32 upcast is exact and DEFAULT's operand
+    rounding is the identity — the bf16xbf16->f32 products are BITWISE
+    the ones HIGHEST computes, at one MXU pass instead of six
+    (hardware-asserted in scripts/tpu_verify.py)."""
+    both_bf16 = (query.dtype == jnp.bfloat16
+                 and points.dtype == jnp.bfloat16)
+    return lax.Precision.DEFAULT if both_bf16 else lax.Precision.HIGHEST
+
+
 def _knn_pallas_transposed(query: jnp.ndarray, points: jnp.ndarray,
                            k: int, tile_q: int,
                            packed: bool) -> Tuple[jnp.ndarray, jnp.ndarray]:
     B, Nq, C = query.shape
     N = points.shape[1]
+    dot_precision = _knn_dot_precision(query, points)
     query = query.astype(jnp.float32)
     points = points.astype(jnp.float32)
 
@@ -358,9 +400,11 @@ def _knn_pallas_transposed(query: jnp.ndarray, points: jnp.ndarray,
     if packed:
         nb = max(1, (Np - 1).bit_length())
         kernel = functools.partial(_knn_packed_t_kernel, k=k,
-                                   n_valid=N, nb=nb)
+                                   n_valid=N, nb=nb,
+                                   dot_precision=dot_precision)
     else:
-        kernel = functools.partial(_knn_t_kernel, k=k, n_valid=N)
+        kernel = functools.partial(_knn_t_kernel, k=k, n_valid=N,
+                                   dot_precision=dot_precision)
     dists, idx = pl.pallas_call(
         kernel,
         grid=(B, (Nq + pad_q) // tile_q),
@@ -398,7 +442,8 @@ def knn_pallas(query: jnp.ndarray, points: jnp.ndarray, k: int,
     mantissa bits — see _knn_packed_kernel for when that is safe).
     Layout dispatch: see `set_extract_layout`.
     """
-    if _use_transposed(points.shape[1]):
+    if _use_transposed(points.shape[1],
+                       "knn_packed" if packed else "knn_exact"):
         # queries sit on the LANE axis in this layout, so the tile is
         # additionally capped at the 128-lane register width
         return _knn_pallas_transposed(query, points, k,
@@ -410,7 +455,9 @@ def knn_pallas(query: jnp.ndarray, points: jnp.ndarray, k: int,
     tile_q = min(tile_q, max(8, Nq))
     # distances are always computed in f32 (bf16 victims feed bf16
     # features here; Mosaic also rejects fp32-precision matmuls on bf16
-    # operands)
+    # operands) — but bf16-origin operands take the one-pass DEFAULT
+    # dot, which is bitwise HIGHEST on bf16 values (_knn_dot_precision)
+    dot_precision = _knn_dot_precision(query, points)
     query = query.astype(jnp.float32)
     points = points.astype(jnp.float32)
 
@@ -428,9 +475,10 @@ def knn_pallas(query: jnp.ndarray, points: jnp.ndarray, k: int,
     if packed:
         nb = max(1, (Np - 1).bit_length())
         kernel = functools.partial(_knn_packed_kernel, k=k, n_valid=N,
-                                   nb=nb)
+                                   nb=nb, dot_precision=dot_precision)
     else:
-        kernel = functools.partial(_knn_kernel, k=k, n_valid=N)
+        kernel = functools.partial(_knn_kernel, k=k, n_valid=N,
+                                   dot_precision=dot_precision)
     dists, idx = pl.pallas_call(
         kernel,
         grid=grid,
@@ -595,7 +643,7 @@ def ball_query_pallas(radius: float, nsample: int, xyz: jnp.ndarray,
     center, ascending index order, padded with the first in-ball index
     (empty balls clamp to N-1, matching the XLA path).
     Layout dispatch: see `set_extract_layout`."""
-    if _use_transposed(xyz.shape[1]):
+    if _use_transposed(xyz.shape[1], "ballq"):
         return _ball_query_transposed(
             radius, nsample, xyz, new_xyz,
             min(128, max(8, new_xyz.shape[1])))
@@ -746,7 +794,7 @@ def fps_pallas_from_start(xyz: jnp.ndarray, npoint: int,
         xyz2 = jnp.concatenate([xyz, xyz], axis=0)
         start2 = jnp.concatenate([start, start], axis=0)
         return fps_pallas_from_start(xyz2, npoint, start2)[:1]
-    if _use_transposed(N):
+    if _use_transposed(N, "fps"):
         return _fps_transposed_from_start(xyz, npoint, start)
     start = jnp.pad(start.reshape(B, 1).astype(jnp.int32),
                     ((0, 0), (0, 127)))                      # lane-pad

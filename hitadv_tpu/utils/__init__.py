@@ -6,7 +6,12 @@ from hitadv_tpu.utils.logging import (  # noqa: F401
     timestamped_logger,
     topk_accuracy,
 )
-from hitadv_tpu.utils.profiling import PhaseTimer, annotate, trace  # noqa: F401
+from hitadv_tpu.utils.profiling import (  # noqa: F401
+    PhaseTimer,
+    annotate,
+    enable_compile_cache,
+    trace,
+)
 from hitadv_tpu.utils.training_aux import (  # noqa: F401
     ConvergenceRecorder,
     EvalProgress,

@@ -76,3 +76,24 @@ def device_timer():
     finally:
         jax.effects_barrier()
         out["ms"] = (time.perf_counter() - t0) * 1e3
+
+
+def enable_compile_cache(min_secs: int = 5) -> None:
+    """Persistent XLA compilation cache (repo-local ``.jax_cache``).
+
+    The scanned attack programs take minutes to compile through the
+    remote-compile tunnel; caching makes repeat runs of the bench /
+    verify / probe scripts start in seconds. Safe to call anywhere
+    (silently a no-op on jax versions without the config knobs)."""
+    import os
+
+    cache_dir = os.environ.get(
+        "HITADV_COMPILE_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          min_secs)
+    except Exception:
+        pass

@@ -25,6 +25,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
+from hitadv_tpu.utils import enable_compile_cache
+
+enable_compile_cache()
+
 import numpy as np
 
 PEAK_TF = 197e12          # v5e bf16 MXU

@@ -12,6 +12,10 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
+from hitadv_tpu.utils import enable_compile_cache
+
+enable_compile_cache()
+
 import argparse
 import sys
 import time

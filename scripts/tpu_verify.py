@@ -20,6 +20,14 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
+from hitadv_tpu.utils import enable_compile_cache
+
+enable_compile_cache()
+
+import glob
+import json
+import re
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -30,13 +38,61 @@ from hitadv_tpu.ops import pallas_kernels as PK
 from hitadv_tpu.ops import set_backend
 
 ok = True
+RESULTS = []          # [{name, ok, detail}] → VERIFY_r<N>.json
 
 
 def check(name, cond, detail=""):
     global ok
     print(("PASS " if cond else "FAIL ") + name
           + (" " + detail if detail else ""), flush=True)
+    RESULTS.append({"name": name, "ok": bool(cond), "detail": detail})
     ok = ok and cond
+
+
+def _artifact_path() -> str:
+    """`VERIFY_r<N>.json` next to the driver's BENCH artifacts.
+
+    The round number is the CURRENT round: the driver writes
+    BENCH_r{N}.json at round end, so N = max committed BENCH round + 1
+    (override with HITADV_VERIFY_OUT)."""
+    override = os.environ.get("HITADV_VERIFY_OUT")
+    if override:
+        return override
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = [int(m.group(1)) for p in glob.glob(
+        os.path.join(repo, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))]
+    n = (max(rounds) + 1) if rounds else 1
+    return os.path.join(repo, f"VERIFY_r{n:02d}.json")
+
+
+def write_artifact():
+    """Persist pass/fail per check so 'bitwise on hardware' claims are
+    reproducible evidence (VERDICT r3 Next #7)."""
+    import datetime
+
+    path = _artifact_path()
+    payload = {
+        "ok": bool(ok),
+        "n_checks": len(RESULTS),
+        "n_failed": sum(1 for r in RESULTS if not r["ok"]),
+        "devices": [str(d) for d in jax.devices()],
+        "extract_layout_default": PK.get_extract_layout(),
+        "timestamp": datetime.datetime.now(
+            datetime.timezone.utc).isoformat(timespec="seconds"),
+        "checks": RESULTS,
+    }
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=1)
+        f.write("\n")
+    print(f"wrote {path}", flush=True)
+
+
+def _forced_highest_knn(x, k):
+    """Pre-cast bf16->f32 so `_knn_dot_precision` picks HIGHEST — the
+    reference arm for the bf16 DEFAULT-dot bitwise check."""
+    xf = x.astype(jnp.float32)
+    return PK.knn_pallas(xf, xf, k)
 
 
 def main():
@@ -131,28 +187,83 @@ def main():
           f"rel={rel:.1e} graddiff={gd:.1e}")
 
     # ---- PCT (fused project-then-gather Local_ops + attention) ----
+    # PCT's geometry rides the PACKED index-only kNN on TPU, whose
+    # documented contract (ops/geometry.py::knn_idx) permits neighbor
+    # flips between candidates within the truncation quantum of the
+    # k-boundary. On near-tie-rich uniform clouds ~0.1% of entries flip
+    # vs XLA top_k (r4 diagnostic: 34/32768), and attention on random
+    # init amplifies those legitimate set changes to O(1) grad moves —
+    # a raw pallas-vs-xla grad compare therefore measures tie density,
+    # not kernel correctness. Three contracts are checked instead:
+    # (1) FPS center selection identical across backends; (2) boundary
+    # flip fraction stays at the tie-noise level; (3) with indices
+    # PINNED, forward AND gradient match between backends (the
+    # gather/scatter movement-kernel machinery itself).
     from hitadv_tpu.models import pct
     pctp = pct.init(jax.random.PRNGKey(3), num_classes=40)
     x3 = jnp.asarray(rng.uniform(size=(2, 700, 3)), jnp.float32)
 
-    def pct_loss(x):
-        return jnp.sum(pct.apply(pctp, x) ** 2)
-
-    res = {}
+    fps_out = {}
     for be in ("pallas", "xla"):
         set_backend(be)
-        v, g = jax.jit(jax.value_and_grad(pct_loss))(x3)
-        res[be] = (float(v), np.asarray(g))
+        fps_out[be] = np.asarray(jax.jit(
+            lambda x: G.farthest_point_sample(x, 512))(x3))
     set_backend("auto")
+    check("pct fps pallas vs xla", np.array_equal(fps_out["pallas"],
+                                                  fps_out["xla"]))
+
+    fidx = jnp.asarray(fps_out["xla"])
+    knn_out = {}
+    for be in ("pallas", "xla"):
+        set_backend(be)
+        knn_out[be] = np.asarray(jax.jit(
+            lambda x, fi: G.knn_point(32, x, G.index_points(x, fi))
+        )(x3, fidx))
+    set_backend("auto")
+    flip = float(np.mean(knn_out["pallas"] != knn_out["xla"]))
+    check("pct knn boundary flips", flip < 2e-3, f"flip_frac={flip:.2e}")
+
+    # grad machinery with pinned indices: monkeypatch the two geometry
+    # selectors to constants (stop_gradient'd in the model anyway)
+    pin1 = jnp.asarray(knn_out["xla"])
+    x1 = jax.jit(lambda x, fi: G.index_points(x, fi))(x3, fidx)
+    f2 = jnp.asarray(np.asarray(jax.jit(
+        lambda x: G.farthest_point_sample(x, 256))(x1)))
+    pin2 = jnp.asarray(np.asarray(jax.jit(
+        lambda x, fi: G.knn_point(32, x, G.index_points(x, fi)))(x1, f2)))
+    pins_f, pins_k = [fidx, f2], [pin1, pin2]
+    calls = {"f": 0, "k": 0}
+    orig_fps, orig_knn = G.farthest_point_sample, G.knn_point
+
+    def fps_pinned(xyz, npoint, key=None):
+        calls["f"] += 1
+        return pins_f[(calls["f"] - 1) % 2]
+
+    def knn_pinned(ns, xyz, new_xyz):
+        calls["k"] += 1
+        return pins_k[(calls["k"] - 1) % 2]
+
+    G.farthest_point_sample = fps_pinned
+    G.knn_point = knn_pinned
+    try:
+        def pct_loss(x):
+            return jnp.sum(pct.apply(pctp, x) ** 2)
+
+        res = {}
+        for be in ("pallas", "xla"):
+            set_backend(be)
+            calls["f"] = calls["k"] = 0
+            v, g = jax.jit(jax.value_and_grad(pct_loss))(x3)
+            res[be] = (float(v), np.asarray(g))
+        set_backend("auto")
+    finally:
+        G.farthest_point_sample = orig_fps
+        G.knn_point = orig_knn
     rel = abs(res["pallas"][0] - res["xla"][0]) / (abs(res["xla"][0]) + 1e-9)
-    # grads compared in relative L2: kNN near-ties at the k-boundary
-    # flip neighbor-set membership between backends (implementation-
-    # defined, as in the reference's CUDA), which legitimately moves a
-    # few pointwise entries; the aggregate must stay small
     gd = (np.linalg.norm(res["pallas"][1] - res["xla"][1])
           / (np.linalg.norm(res["xla"][1]) + 1e-9))
-    check("pct fwd+bwd vs xla backend", rel < 1e-3 and gd < 3e-2,
-          f"rel={rel:.1e} gradL2={gd:.1e}")
+    check("pct fwd+bwd vs xla backend (pinned idx)",
+          rel < 1e-3 and gd < 1e-2, f"rel={rel:.1e} gradL2={gd:.1e}")
 
     # ---- bf16 attack mode: fused paths stay finite and near f32 ----
     from hitadv_tpu.nn import functional as nnF
@@ -218,10 +329,17 @@ def main():
             finally:
                 PK.set_extract_layout("lanes")
         same_i = np.array_equal(outs["lanes"][1], outs["sublanes"][1])
-        dd = np.max(np.abs(outs["lanes"][0] - outs["sublanes"][0]))
+        # dist tolerance is RELATIVE: the layouts associate the
+        # qn - 2*cross + pn FMAs differently, so the noise scales with
+        # the squared-distance magnitude (~128 for 64-dim randn data —
+        # an absolute 1e-5 gate was measuring the data scale, not the
+        # kernel: r4 hardware run saw 1.5e-5 abs = 1.2e-7 relative
+        # with ALL indices equal)
+        scale = np.max(np.abs(outs["lanes"][0])) + 1e-30
+        dd = np.max(np.abs(outs["lanes"][0] - outs["sublanes"][0])) / scale
         same_ip = np.array_equal(outs["lanes"][3], outs["sublanes"][3])
-        check("knn sublane layout (exact)", same_i and dd < 1e-5,
-              f"idx_equal={same_i} distdiff={dd:.1e}")
+        check("knn sublane layout (exact)", same_i and dd < 1e-6,
+              f"idx_equal={same_i} rel_distdiff={dd:.1e}")
         check("knn sublane layout (packed)", same_ip,
               f"idx_equal={same_ip}")
     except Exception as e:  # Mosaic compile failure
@@ -260,6 +378,27 @@ def main():
         check("ballq/fps sublane layout", False,
               f"EXC {type(e).__name__}: "
               + str(e).splitlines()[0][:160])
+
+    # ---- bf16 feature kNN: one-pass DEFAULT dot is bitwise HIGHEST --
+    # bf16-origin operands upcast exactly to f32, so DEFAULT's operand
+    # rounding is the identity — the one-pass dot must reproduce the
+    # six-pass HIGHEST selection AND distances bitwise (the claim that
+    # lets bf16 attack mode skip 5/6 of the cross-term MXU passes).
+    try:
+        import functools as _ft
+
+        xb = jnp.asarray(rng.normal(size=(4, 512, 64)), jnp.bfloat16)
+        fast = jax.jit(lambda x: PK.knn_pallas(x, x, 20))(xb)
+        slow = jax.jit(_ft.partial(_forced_highest_knn, k=20))(xb)
+        d_same = bool(np.array_equal(np.asarray(fast[0]),
+                                     np.asarray(slow[0])))
+        i_same = bool(np.array_equal(np.asarray(fast[1]),
+                                     np.asarray(slow[1])))
+        check("bf16 knn DEFAULT dot bitwise vs HIGHEST",
+              d_same and i_same, f"dists={d_same} idx={i_same}")
+    except Exception as e:
+        check("bf16 knn DEFAULT dot bitwise vs HIGHEST", False,
+              f"EXC {type(e).__name__}: " + str(e).splitlines()[0][:160])
 
     # ---- gaussian_blend: hoisted negd is bitwise on HW ----
     # The HiT-ADV scan hoists the loop-invariant distance field
@@ -313,6 +452,7 @@ def main():
               f"max|adv-x|={moved:.4f}")
 
     print("ALL OK" if ok else "FAILURES PRESENT", flush=True)
+    write_artifact()
     return 0 if ok else 1
 
 

@@ -344,6 +344,21 @@ class TestEdgeShapes:
                          xb.astype(jnp.float32), 5)
         np.testing.assert_array_equal(np.asarray(i), np.asarray(ref.idx))
 
+    def test_knn_dot_precision_policy(self, rng):
+        """bf16-origin operands take the one-pass DEFAULT dot (exact:
+        the f32 upcast is the identity on bf16 values — hardware-
+        asserted bitwise in scripts/tpu_verify.py); any f32 operand
+        must keep HIGHEST (the MXU's DEFAULT rounds f32 operands to
+        bf16 — CLAUDE.md Mosaic rule 5)."""
+        from jax import lax
+
+        bf = jnp.zeros((2, 8, 4), jnp.bfloat16)
+        f32 = jnp.zeros((2, 8, 4), jnp.float32)
+        assert PK._knn_dot_precision(bf, bf) == lax.Precision.DEFAULT
+        assert PK._knn_dot_precision(f32, f32) == lax.Precision.HIGHEST
+        assert PK._knn_dot_precision(bf, f32) == lax.Precision.HIGHEST
+        assert PK._knn_dot_precision(f32, bf) == lax.Precision.HIGHEST
+
 
 class TestPopulationWithHiTADV:
     def test_composes(self, rng):
@@ -608,11 +623,34 @@ class TestTransposedLayout:
         try:
             yield
         finally:
-            PK.set_extract_layout("lanes")
+            PK.set_extract_layout("auto")
 
     def test_layout_validation(self):
         with pytest.raises(ValueError):
             PK.set_extract_layout("diagonal")
+
+    def test_auto_policy_per_op(self):
+        """Default "auto" encodes the round-4 hardware verdict: sublane
+        layout for the kNN/ball-query selection loops, lane layout for
+        FPS (probes measured sublanes 2.5x SLOWER there — the argmax
+        tree sits on FPS's serial critical path)."""
+        assert PK.get_extract_layout() == "auto"
+        assert PK._use_transposed(1024, "knn_exact")
+        assert PK._use_transposed(1024, "knn_packed")
+        assert PK._use_transposed(1024, "ballq")
+        assert not PK._use_transposed(1024, "fps")
+        # forcing works both ways, for every op
+        PK.set_extract_layout("sublanes")
+        try:
+            assert PK._use_transposed(1024, "fps")
+        finally:
+            PK.set_extract_layout("lanes")
+        try:
+            assert not PK._use_transposed(1024, "knn_exact")
+        finally:
+            PK.set_extract_layout("auto")
+        # >25% pow2 pad falls back regardless of policy
+        assert not PK._use_transposed(300, "knn_exact")
 
     @pytest.mark.parametrize("C", [3, 64])
     def test_knn_exact_same_selection(self, rng, sublanes, C):

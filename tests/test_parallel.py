@@ -297,7 +297,7 @@ class TestShardedSublaneLayout:
                 outs[layout] = tuple(np.asarray(o)
                                      for o in jax.jit(f)(x))
             finally:
-                PK.set_extract_layout("lanes")
+                PK.set_extract_layout("auto")
         for name, a, b in zip(("knn", "ballq", "fps"),
                               outs["lanes"], outs["sublanes"]):
             np.testing.assert_array_equal(a, b, err_msg=name)
