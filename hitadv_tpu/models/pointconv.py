@@ -110,6 +110,7 @@ def _stage_apply(p, stage: PCStage, xyz, points):
         density = compute_density(xyz, stage.bandwidth)       # [B, N]
         inv_density = 1.0 / density
 
+    fused = not (stage.group_all or F.bn_is_training())
     if stage.group_all:
         new_xyz = jnp.mean(xyz, axis=1, keepdims=True)        # [B, 1, 3]
         grouped_xyz = xyz[:, None] - new_xyz[:, :, None]      # [B,1,N,3]
@@ -117,6 +118,52 @@ def _stage_apply(p, stage: PCStage, xyz, points):
         new_points = (grouped_xyz, points[:, None])
         grouped_density = inv_density.reshape(B, 1, N)
         S = 1
+    elif fused:
+        # Eval-mode project-then-gather (see pointnet2._sa_apply for
+        # the algebra): the BN-folded first layers of the stage MLP
+        # AND of WeightNet are affine, so they commute with the row
+        # gather — project both on the UNGATHERED [B, N, *] field,
+        # gather [mlp0 | weightnet0 | inv_density] in ONE sweep, and
+        # correct the per-group center image after. This removes the
+        # [B, S, ns, 3] grouped-xyz tensor entirely and with it the
+        # packed-gather channel slices the r4 HLO showed as ~1 ms/iter
+        # of misaligned lane-slice copies (grouped_aug[..., 4:] at
+        # offset 4 of a (2,1)-packed bf16 lane dim relayouts the whole
+        # tensor). Reassociation-level drift only (pinned at 5e-6 in
+        # tests/test_project_then_gather.py). Train-mode BN needs
+        # batch stats of the pre-activation over the group grid, so
+        # training keeps the reference formulation below.
+        with jax.named_scope("pc_fps"):
+            fps_idx = G.farthest_point_sample(xyz, stage.npoint,
+                                              start_idx=0)
+            new_xyz = G.index_points(xyz, fps_idx)
+        with jax.named_scope("pc_knn"):
+            idx = G.knn_point(stage.nsample, xyz, new_xyz)
+        with jax.named_scope("pc_proj"):
+            W0, b0 = F.fold_bn(p["mlp"]["conv0"], p["mlp"]["bn0"])
+            V0, c0 = F.fold_bn(p["weightnet"]["conv0"],
+                               p["weightnet"]["bn0"])
+            C1 = W0.shape[1]
+            q = F.linear({"w": W0[:3]}, xyz) \
+                + F.linear({"w": W0[3:]}, points)             # [B, N, C1]
+            qw = F.linear({"w": V0}, xyz)                     # [B, N, 8]
+            pc = F.linear({"w": W0[:3]}, new_xyz)             # [B, S, C1]
+            pw = F.linear({"w": V0}, new_xyz)                 # [B, S, 8]
+            # in bf16 attack mode the density rides the same bf16
+            # sweep (it is normalized per group and consumed by a
+            # bf16-compute MLP anyway); f32 parity mode keeps it f32
+            field = jnp.concatenate(
+                [q, qw, inv_density[..., None].astype(q.dtype)], -1)
+        with jax.named_scope("pc_group"):
+            g = G.index_points(field, idx)            # [B,S,ns,C1+8+1]
+        with jax.named_scope("pc_mlp"):
+            h = F.relu(g[..., :C1] - pc[:, :, None, :]
+                       + b0.astype(q.dtype))
+            h = F.mlp_apply(p["mlp"], h, start=1)             # [B,S,ns,C']
+        wn_h = F.relu(g[..., C1:C1 + 8] - pw[:, :, None, :]
+                      + c0.astype(q.dtype))
+        grouped_density = g[..., C1 + 8]                      # [B,S,ns]
+        S = stage.npoint
     else:
         with jax.named_scope("pc_fps"):
             fps_idx = G.farthest_point_sample(xyz, stage.npoint,
@@ -150,8 +197,9 @@ def _stage_apply(p, stage: PCStage, xyz, points):
             new_points = (grouped_xyz, grouped_points)
         S = stage.npoint
 
-    with jax.named_scope("pc_mlp"):
-        h = F.mlp_apply(p["mlp"], new_points)                 # [B,S,ns,C']
+    if not fused:
+        with jax.named_scope("pc_mlp"):
+            h = F.mlp_apply(p["mlp"], new_points)             # [B,S,ns,C']
 
     with jax.named_scope("pc_densitynet"):
         inv_max = _max_lastdim(grouped_density)               # [B, S, 1]
@@ -160,8 +208,9 @@ def _stage_apply(p, stage: PCStage, xyz, points):
         h = h * density_scale                                 # [B,S,ns,C']
 
     with jax.named_scope("pc_weightnet"):
-        weights = _weightnet_apply(p["weightnet"],
-                                   grouped_xyz)               # [B,S,ns,16]
+        weights = (F.mlp_apply(p["weightnet"], wn_h, start=1) if fused
+                   else _weightnet_apply(p["weightnet"],
+                                         grouped_xyz))        # [B,S,ns,16]
     with jax.named_scope("pc_agg"):
         agg = jnp.einsum("bsnc,bsnw->bscw", h, weights,
                          preferred_element_type=jnp.float32)

@@ -38,7 +38,9 @@ def main():
     pts, labels = synthetic_clouds(B, num_points=N, seed=0)
     pts_j, labels_j = jnp.asarray(pts), jnp.asarray(labels)
 
-    for name in ["pointnet", "pointnet++", "pct", "pointconv", "dgcnn"]:
+    victims = sys.argv[1:] or ["pointnet", "pointnet++", "pct",
+                               "pointconv", "dgcnn"]
+    for name in victims:
         init, apply = models.get_model(name)
         params = init(jax.random.PRNGKey(0))
         logits_fn = lambda x: apply(params, x)  # noqa: E731

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import pytest
 
 import hitadv_tpu.ops.geometry as G
-from hitadv_tpu.models import pct, pointnet2 as P
+from hitadv_tpu.models import pct, pointconv as PC, pointnet2 as P
 from hitadv_tpu.nn import functional as F
 
 TOL = 5e-6
@@ -99,6 +99,78 @@ class TestPCT:
         g2 = jax.grad(lambda x: _ref_pct(params, x).sum())(cloud)
         rel = jnp.linalg.norm(g1 - g2) / jnp.linalg.norm(g2)
         assert rel < 1e-3
+
+
+def _ref_pointconv_stage(p, stage, xyz, points):
+    """One PointConv SA stage in the reference gather-then-slice
+    formulation (`util/pointconv_util.py:334-401`): gather the
+    [xyz | inv_density | feats] concat, normalize the xyz slice by the
+    group center, run the full stage MLP / WeightNet on the grouped
+    tensors."""
+    B, N, _ = xyz.shape
+    inv_density = 1.0 / G.kde_density(xyz, stage.bandwidth)
+    if stage.group_all:
+        new_xyz = jnp.mean(xyz, axis=1, keepdims=True)
+        grouped_xyz = xyz[:, None] - new_xyz[:, :, None]
+        new_points = (grouped_xyz, points[:, None])
+        grouped_density = inv_density.reshape(B, 1, N)
+    else:
+        fps_idx = G.farthest_point_sample(xyz, stage.npoint, start_idx=0)
+        new_xyz = G.index_points(xyz, fps_idx)
+        idx = G.knn_point(stage.nsample, xyz, new_xyz)
+        aug = jnp.concatenate(
+            [xyz, inv_density[..., None], points], axis=-1)
+        grouped_aug = G.index_points(aug, idx)
+        grouped_xyz = grouped_aug[..., :3] - new_xyz[:, :, None, :]
+        grouped_density = grouped_aug[..., 3]
+        new_points = (grouped_xyz, grouped_aug[..., 4:])
+    h = F.mlp_apply(p["mlp"], new_points)
+    inv_max = PC._max_lastdim(grouped_density)
+    scale = PC._densitynet_apply(
+        p["densitynet"], (grouped_density / inv_max)[..., None])
+    h = h * scale
+    weights = PC._weightnet_apply(p["weightnet"], grouped_xyz)
+    agg = jnp.einsum("bsnc,bsnw->bscw", h, weights,
+                     preferred_element_type=jnp.float32)
+    agg = agg.reshape(B, 1 if stage.group_all else stage.npoint, -1)
+    out = F.relu(F.linear_bn(p["linear"], p["bn_linear"], agg))
+    return new_xyz, out
+
+
+def _ref_pointconv(params, x):
+    xyz = x[..., :3]
+    h_xyz, h = _ref_pointconv_stage(params["sa1"], PC.STAGES[0], xyz, xyz)
+    h_xyz, h = _ref_pointconv_stage(params["sa2"], PC.STAGES[1], h_xyz, h)
+    _, h = _ref_pointconv_stage(params["sa3"], PC.STAGES[2], h_xyz, h)
+    g = h[:, 0, :]
+    g = F.relu(F.linear_bn(params["fc1"], params["bn1"], g))
+    g = F.relu(F.linear_bn(params["fc2"], params["bn2"], g))
+    return F.linear(params["fc3"], g)
+
+
+class TestPointConv:
+    def test_logits_match_reference_formulation(self, cloud):
+        params = PC.init(jax.random.PRNGKey(0), num_classes=10)
+        fused = PC.apply(params, cloud)
+        ref = _ref_pointconv(params, cloud)
+        assert jnp.abs(fused - ref).max() < TOL
+
+    def test_input_grads_match(self, cloud):
+        # relative L2 (see TestPointNet2: boundary flips move entries)
+        params = PC.init(jax.random.PRNGKey(0), num_classes=10)
+        g1 = jax.grad(lambda x: PC.apply(params, x).sum())(cloud)
+        g2 = jax.grad(lambda x: _ref_pointconv(params, x).sum())(cloud)
+        rel = jnp.linalg.norm(g1 - g2) / jnp.linalg.norm(g2)
+        assert rel < 1e-3
+
+    def test_train_mode_keeps_reference_formulation(self, cloud):
+        # the fused path is eval-only: under bn_training the stage must
+        # run the reference grouping so BN sees the edge-grid stats
+        params = PC.init(jax.random.PRNGKey(0), num_classes=10)
+        with F.bn_training([]):
+            out = PC.apply(params, cloud)
+        assert out.shape == (2, 10)
+        assert bool(jnp.isfinite(out).all())
 
 
 def test_linear_parts_matches_concat():
