@@ -64,9 +64,13 @@ def _local_op_fused(p, points, fps_idx, idx):
     q = F.linear({"w": W[:D]}, points)                        # [B, N, C]
     center = G.index_points(points, fps_idx)                  # [B, S, D]
     cterm = F.linear({"w": W[D:] - W[:D], "b": b}, center)    # [B, S, C]
-    h = F.relu(G.index_points(q, idx) + cterm[:, :, None, :])
+    # neighbors-major grouped gather: idx stays [B, S, ns] in HBM (the
+    # flat [B, M, 1] operand tile-pads 128x) and the output needs no
+    # re-tile; the neighbor max moves to axis 1
+    h = F.relu(G.gather_group_nm(q, idx)
+               + cterm[:, None, :, :])                       # [B,ns,S,C]
     h = F.relu(F.linear_bn(p["conv2"], p["bn2"], h))
-    return F.max_mid(h)
+    return F.max_axis(h, 1)
 
 
 def _sa_layer_init(key, channels):

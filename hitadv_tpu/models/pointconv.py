@@ -155,11 +155,16 @@ def _stage_apply(p, stage: PCStage, xyz, points):
             field = jnp.concatenate(
                 [q, qw, inv_density[..., None].astype(q.dtype)], -1)
         with jax.named_scope("pc_group"):
+            # S-major gather: the neighbors-major variant (which wins
+            # on PN++/PCT) was measured 17% SLOWER end-to-end here —
+            # the bsnc,bsnw->bscw WeightNet contraction batches over
+            # (b, s), so an ns-major layout forces XLA to transpose
+            # both einsum operands back (r4: 9.08 -> 10.63 ms/iter)
             g = G.index_points(field, idx)            # [B,S,ns,C1+8+1]
         with jax.named_scope("pc_mlp"):
             h = F.relu(g[..., :C1] - pc[:, :, None, :]
                        + b0.astype(q.dtype))
-            h = F.mlp_apply(p["mlp"], h, start=1)             # [B,S,ns,C']
+            h = F.mlp_apply(p["mlp"], h, start=1)            # [B,S,ns,C']
         wn_h = F.relu(g[..., C1:C1 + 8] - pw[:, :, None, :]
                       + c0.astype(q.dtype))
         grouped_density = g[..., C1 + 8]                      # [B,S,ns]

@@ -72,6 +72,8 @@ def _sa_apply(params: Dict, cfg: SAConfig, xyz: jnp.ndarray,
                     key=key, concat=False)
         with jax.named_scope(f"{tag}_mlp"):
             h = F.mlp_apply(params, new_points)
+        with jax.named_scope(f"{tag}_max"):
+            pooled = F.max_mid(h)                             # [B, S, C']
     else:
         with jax.named_scope(f"{tag}_group"):
             fps_idx = G.farthest_point_sample(xyz, cfg.npoint, key=key)
@@ -85,12 +87,16 @@ def _sa_apply(params: Dict, cfg: SAConfig, xyz: jnp.ndarray,
                 q = q + F.linear({"w": W[3:]}, points)
             pc = F.linear({"w": W[:3]}, new_xyz)              # [B, S, C1]
         with jax.named_scope(f"{tag}_gather"):
-            h = F.relu(G.index_points(q, idx) - pc[:, :, None, :]
-                       + b.astype(q.dtype))                   # [B,S,ns,C1]
+            # neighbors-major grouped gather (gather_group_nm): idx
+            # stays [B, S, ns] in HBM (the flat [B, M, 1] operand
+            # tile-pads 128x) and the output needs no re-tile
+            h = F.relu(G.gather_group_nm(q, idx)
+                       - pc[:, None, :, :]
+                       + b.astype(q.dtype))                  # [B,ns,S,C1]
         with jax.named_scope(f"{tag}_mlp"):
             h = F.mlp_apply(params, h, start=1)
-    with jax.named_scope(f"{tag}_max"):
-        pooled = F.max_mid(h)                                 # [B, S, C']
+        with jax.named_scope(f"{tag}_max"):
+            pooled = F.max_axis(h, 1)                         # [B, S, C']
     return new_xyz, pooled
 
 

@@ -15,6 +15,7 @@ scales even before a checkpoint is loaded.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Dict, Optional, Sequence, Tuple
 
@@ -256,6 +257,30 @@ def _max_mid_bwd(res, g):
 
 
 max_mid.defvjp(_max_mid_fwd, _max_mid_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def max_axis(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """``jnp.max(x, axis)`` with the same elementwise tie-splitting
+    VJP as `max_mid` — for the neighbors-major [B, ns, S, C] grouped
+    layout (`ops.geometry.gather_group_nm`), whose neighbor axis is 1
+    rather than -2."""
+    return jnp.max(x, axis=axis)
+
+
+def _max_axis_fwd(x, axis):
+    m = jnp.max(x, axis=axis)
+    return m, (x, m)
+
+
+def _max_axis_bwd(axis, res, g):
+    x, m = res
+    mask = (x == jnp.expand_dims(m, axis)).astype(g.dtype)
+    cnt = jnp.sum(mask, axis=axis, keepdims=True)
+    return (mask * (jnp.expand_dims(g, axis) / cnt),)
+
+
+max_axis.defvjp(_max_axis_fwd, _max_axis_bwd)
 
 
 def relu(x: jnp.ndarray) -> jnp.ndarray:

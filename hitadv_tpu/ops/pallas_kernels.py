@@ -1456,6 +1456,158 @@ def _gather_rows_kernel(idx_ref, y_ref, out_ref, *, splits: int):
     out_ref[0] = out.astype(out_ref.dtype)
 
 
+def _gather_group_kernel(idx_ref, y_ref, out_ref, *, k: int,
+                         splits: int):
+    """Grouped gather: out[t, j, :] = y[idx[t, j], :] — one one-hot
+    matmul per neighbor slot, exactly `_gmp_fwd_kernel`'s loop without
+    the max fold. Consuming the [B, S, ns] idx DIRECTLY (instead of
+    the flat [B, S*ns, 1] form) matters on TPU: the flat int32 operand
+    is laid out T(8,128) with a 1-wide minor dim, so XLA pads it 128x
+    in HBM — profiled at ~0.2 ms/iter of pure pad traffic per gather
+    program on PointNet++ (r4 HLO: broadcast_in_dim.880), and the
+    [B, M, C] -> [B, S, ns, C] output reshape re-tiles again. Here idx
+    tiles densely and the output is written grouped. Same exactness
+    contract as `_gather_rows_kernel` (bf16 native 1-pass; f32 via the
+    3-plane bf16 split)."""
+    idx = idx_ref[0]                                         # [T, k_pad]
+    y = y_ref[0]                                             # [Np, S*C]
+    T = idx.shape[0]
+    Np = y.shape[0]
+    col = lax.broadcasted_iota(jnp.int32, (T, Np), 1)
+    C = out_ref.shape[-1]
+    for j in range(k):
+        onehot = (col == idx[:, j][:, None]).astype(y.dtype)  # [T, Np]
+        acc = jax.lax.dot_general(
+            onehot, y, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [T, S*C]
+        out = (acc if splits == 1
+               else acc[:, :C] + acc[:, C:2 * C] + acc[:, 2 * C:])
+        # neighbors-major out block (1, ns, T, C): the [T, C] store at
+        # slot j rank-extends with LEADING unit dims only — a mid-
+        # tensor unit insert ([T,C]->[1,T,1,C] for a [B,S,ns,C] out)
+        # is an "unsupported shape cast" in Mosaic's layout inference
+        out_ref[0, j] = out.astype(out_ref.dtype)
+
+
+def _scatter_add_group_kernel(idx_ref, g_ref, out_ref, *, k: int):
+    """Grouped scatter-add (the grouped gather's VJP): out[m, :] +=
+    sum over (t, j) in this tile with idx[t, j] == m of g[t, j, :] —
+    `_gmp_bwd_kernel`'s accumulation with the cotangent read per slot
+    instead of masked by argmax. f32 gradients ride the hi|lo bf16
+    split (see `_scatter_add_rows_kernel`)."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    idx = idx_ref[0]                                         # [T, k_pad]
+    Np = out_ref.shape[1]
+    T = idx.shape[0]
+    rowT = lax.broadcasted_iota(jnp.int32, (Np, T), 0)
+    C = out_ref.shape[-1]
+    for j in range(k):
+        gj = g_ref[0, j]                # [T, C] (neighbors-major)
+        f32 = gj.dtype == jnp.float32
+        if f32:
+            ghi = gj.astype(jnp.bfloat16)
+            glo = (gj - ghi.astype(jnp.float32)).astype(jnp.bfloat16)
+            gj = jnp.concatenate([ghi, glo], axis=1)         # [T, 2C]
+        onehotT = (rowT == idx[:, j][None, :]).astype(gj.dtype)
+        acc = jax.lax.dot_general(
+            onehotT, gj, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out_ref[0] += (acc[:, :C] + acc[:, C:] if f32 else acc)
+
+
+def gather_group_pallas(points: jnp.ndarray, idx: jnp.ndarray,
+                        tile: int = 128) -> jnp.ndarray:
+    """``out[b, j, s, :] = points[b, idx[b, s, j], :]`` — NEIGHBORS-
+    MAJOR output [B, ns, S, C], bitwise exact (bf16: one native pass;
+    f32: exact 3-plane bf16 split). Grouped sibling of
+    `gather_rows_pallas` — see `_gather_group_kernel` for why the
+    [B, S, ns] idx layout is kept and the output is neighbors-major."""
+    B, N, C = points.shape
+    S, ns = idx.shape[1], idx.shape[2]
+    if points.dtype == jnp.bfloat16:
+        y, splits, odt = points, 1, jnp.bfloat16
+    else:
+        y, splits, odt = (_split3_bf16(points.astype(jnp.float32)), 3,
+                          jnp.float32)
+    pad_n = (-N) % 8
+    if pad_n:
+        y = jnp.pad(y, ((0, 0), (0, pad_n), (0, 0)))
+    Np = N + pad_n
+    tile = min(tile, max(8, S))
+    pad_s = (-S) % tile
+    if pad_s:
+        idx = jnp.pad(idx, ((0, 0), (0, pad_s), (0, 0)))
+    Sp = S + pad_s
+    k_pad = -(-ns // 128) * 128
+    if k_pad != ns:
+        idx = jnp.pad(idx, ((0, 0), (0, 0), (0, k_pad - ns)))
+
+    out = pl.pallas_call(
+        functools.partial(_gather_group_kernel, k=ns, splits=splits),
+        grid=(B, Sp // tile),
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        in_specs=[
+            pl.BlockSpec((1, tile, k_pad), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, Np, splits * C), lambda b, t: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, ns, tile, C),
+                               lambda b, t: (b, 0, t, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, ns, Sp, C), odt),
+    )(idx, y)
+    return out[:, :, :S]
+
+
+def scatter_add_group_pallas(idx: jnp.ndarray, g: jnp.ndarray,
+                             n_points: int,
+                             tile: int = 256) -> jnp.ndarray:
+    """grad_points[b, idx[b, s, j], :] += g[b, j, s, :] — grouped
+    sibling of `scatter_add_rows_pallas` (same hi|lo f32 contract).
+    ``g`` is NEIGHBORS-MAJOR [B, ns, S, C] to match
+    `gather_group_pallas`'s output.
+
+    ``tile`` is the contraction K of each per-slot one-hot^T dot:
+    128 measured 1.8x slower (MXU pipeline-fill on K=128 across ns
+    unrolled dots), 256 wins (2.52 -> 1.38 ms at [16,1024]<-[512,32]
+    C=64 bf16), 512 crashes the Mosaic compile (scoped-VMEM)."""
+    B, S, ns = idx.shape
+    C = g.shape[-1]
+    gf = g if g.dtype == jnp.bfloat16 else g.astype(jnp.float32)
+    tile = min(tile, max(8, S))
+    pad_s = (-S) % tile
+    if pad_s:
+        # padded rows carry zero gradient -> contribute nothing
+        gf = jnp.pad(gf, ((0, 0), (0, 0), (0, pad_s), (0, 0)))
+        idx = jnp.pad(idx, ((0, 0), (0, pad_s), (0, 0)))
+    Sp = S + pad_s
+    k_pad = -(-ns // 128) * 128
+    if k_pad != ns:
+        idx = jnp.pad(idx, ((0, 0), (0, 0), (0, k_pad - ns)))
+    pad_out = (-n_points) % 8
+    Np = n_points + pad_out
+
+    out = pl.pallas_call(
+        functools.partial(_scatter_add_group_kernel, k=ns),
+        grid=(B, Sp // tile),
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        in_specs=[
+            pl.BlockSpec((1, tile, k_pad), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, ns, tile, C), lambda b, t: (b, 0, t, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, Np, C), lambda b, t: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Np, C), jnp.float32),
+    )(idx, gf)
+    return out[:, :n_points].astype(g.dtype)
+
+
 def _split3_bf16(x: jnp.ndarray) -> jnp.ndarray:
     """Exact 3-plane bf16 decomposition of f32, packed on the last dim.
 

@@ -400,6 +400,39 @@ def main():
         check("bf16 knn DEFAULT dot bitwise vs HIGHEST", False,
               f"EXC {type(e).__name__}: " + str(e).splitlines()[0][:160])
 
+    # ---- grouped neighbors-major gather/scatter (PN++/PCT path) ----
+    # gather_group_nm consumes idx as produced ([B, S, ns]) and writes
+    # [B, ns, S, C]; fwd must be BITWISE take_along_axis in both
+    # dtypes, bwd within the hi|lo f32 scatter contract.
+    try:
+        for dt, gate in ((jnp.bfloat16, 0.0), (jnp.float32, 5e-5)):
+            pts = jnp.asarray(rng.normal(size=(4, 512, 64)),
+                              jnp.float32).astype(dt)
+            gidx = jnp.asarray(
+                rng.integers(0, 512, (4, 256, 32)), jnp.int32)
+            got = jax.jit(PK.gather_group_pallas)(pts, gidx)
+            ref = jnp.transpose(jnp.take_along_axis(
+                pts, gidx.reshape(4, -1)[..., None], axis=1
+            ).reshape(4, 256, 32, 64), (0, 2, 1, 3))
+            f_same = bool(np.array_equal(np.asarray(got),
+                                         np.asarray(ref)))
+            gcot = jnp.asarray(rng.normal(size=(4, 32, 256, 64)),
+                               jnp.float32).astype(dt)
+            sc = jax.jit(lambda i, gg: PK.scatter_add_group_pallas(
+                i, gg, 512))(gidx, gcot)
+            sref = jax.jit(lambda i, gg: PK.scatter_add_rows_pallas(
+                i.reshape(4, -1),
+                jnp.transpose(gg, (0, 2, 1, 3)).reshape(4, -1, 64),
+                512))(gidx, gcot)
+            dmax = float(jnp.max(jnp.abs(
+                sc.astype(jnp.float32) - sref.astype(jnp.float32))))
+            check(f"gather_group nm {np.dtype(dt).name}",
+                  f_same and dmax <= gate,
+                  f"fwd_bitwise={f_same} bwd_maxdiff={dmax:.1e}")
+    except Exception as e:  # Mosaic compile failure
+        check("gather_group nm", False,
+              f"EXC {type(e).__name__}: " + str(e).splitlines()[0][:160])
+
     # ---- gaussian_blend: hoisted negd is bitwise on HW ----
     # The HiT-ADV scan hoists the loop-invariant distance field
     # (G.neg_gaussian_field). CPU tests pin bitwise equality; TPU

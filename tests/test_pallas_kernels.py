@@ -344,6 +344,55 @@ class TestEdgeShapes:
                          xb.astype(jnp.float32), 5)
         np.testing.assert_array_equal(np.asarray(i), np.asarray(ref.idx))
 
+    @pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+    def test_gather_group_bitwise(self, rng, dtype):
+        """Grouped neighbors-major gather == take_along_axis bitwise
+        (bf16 native pass; f32 3-plane split), and the VJP scatter
+        matches the flat scatter_add kernel on the same cotangent."""
+        dt = jnp.dtype(dtype)
+        pts = jnp.asarray(rng.randn(2, 200, 16), jnp.float32).astype(dt)
+        idx = jnp.asarray(rng.randint(0, 200, (2, 40, 32)), jnp.int32)
+        got = PK.gather_group_pallas(pts, idx)          # [B, ns, S, C]
+        ref = jnp.transpose(jnp.take_along_axis(
+            pts, idx.reshape(2, -1)[..., None], axis=1
+        ).reshape(2, 40, 32, 16), (0, 2, 1, 3))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+        g = jnp.asarray(rng.randn(2, 32, 40, 16), jnp.float32).astype(dt)
+        grouped = PK.scatter_add_group_pallas(idx, g, 200)
+        gsm = jnp.transpose(g, (0, 2, 1, 3))            # [B, S, ns, C]
+        flat = PK.scatter_add_rows_pallas(idx.reshape(2, -1),
+                                          gsm.reshape(2, -1, 16), 200)
+        np.testing.assert_allclose(np.asarray(grouped, np.float32),
+                                   np.asarray(flat, np.float32),
+                                   rtol=0, atol=5e-5)
+
+    def test_gather_group_nm_fwd_bwd_vs_xla(self, rng):
+        """G.gather_group_nm value and grad equal the XLA autodiff
+        formulation (transpose of index_points)."""
+        from hitadv_tpu.ops import set_backend
+
+        pts = jnp.asarray(rng.randn(2, 256, 8), jnp.float32)
+        idx = jnp.asarray(rng.randint(0, 256, (2, 128, 16)), jnp.int32)
+        w = jnp.asarray(rng.randn(2, 16, 128, 8), jnp.float32)
+
+        def loss(p):
+            return jnp.sum(G.gather_group_nm(p, idx) * w)
+
+        outs = {}
+        for be in ("pallas", "xla"):
+            set_backend(be)
+            try:
+                outs[be] = jax.value_and_grad(loss)(pts)
+            finally:
+                set_backend("auto")
+        np.testing.assert_allclose(float(outs["pallas"][0]),
+                                   float(outs["xla"][0]), rtol=1e-6)
+        # hi|lo f32 scatter contract: ~2^-17 relative per contribution
+        np.testing.assert_allclose(np.asarray(outs["pallas"][1]),
+                                   np.asarray(outs["xla"][1]),
+                                   rtol=2e-5, atol=1e-4)
+
     def test_knn_dot_precision_policy(self, rng):
         """bf16-origin operands take the one-pass DEFAULT dot (exact:
         the f32 upcast is the identity on bf16 values — hardware-
