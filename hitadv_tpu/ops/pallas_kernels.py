@@ -1520,6 +1520,21 @@ def _scatter_add_group_kernel(idx_ref, g_ref, out_ref, *, k: int):
         out_ref[0] += (acc[:, :C] + acc[:, C:] if f32 else acc)
 
 
+def _group_tile(tile: int, ns: int, C: int, dtype, S: int) -> int:
+    """Shrink the S-tile so the [1, ns, tile, C] 4-D block stays under
+    ~4 MB: the big block plus the unrolled loop's SSA temporaries must
+    fit Mosaic's 16 MB scoped-VMEM stack (the PCT group1 scatter at
+    B=32/f32/C=256 measured 16.86M at tile=256 — a hard compile
+    failure, not a perf cliff)."""
+    bytes_per_row = ns * C * jnp.dtype(dtype).itemsize
+    # 6 MB keeps the measured-good bf16 cases at their probed tiles
+    # (ns=32 C=256 bf16 = 4.2 MB compiled and ran); the f32 8.4 MB
+    # block is what blew the stack
+    while tile > 64 and tile * bytes_per_row > 6 * 2 ** 20:
+        tile //= 2
+    return min(tile, max(8, S))
+
+
 def gather_group_pallas(points: jnp.ndarray, idx: jnp.ndarray,
                         tile: int = 128) -> jnp.ndarray:
     """``out[b, j, s, :] = points[b, idx[b, s, j], :]`` — NEIGHBORS-
@@ -1538,7 +1553,7 @@ def gather_group_pallas(points: jnp.ndarray, idx: jnp.ndarray,
     if pad_n:
         y = jnp.pad(y, ((0, 0), (0, pad_n), (0, 0)))
     Np = N + pad_n
-    tile = min(tile, max(8, S))
+    tile = _group_tile(tile, ns, C, odt, S)
     pad_s = (-S) % tile
     if pad_s:
         idx = jnp.pad(idx, ((0, 0), (0, pad_s), (0, 0)))
@@ -1579,7 +1594,7 @@ def scatter_add_group_pallas(idx: jnp.ndarray, g: jnp.ndarray,
     B, S, ns = idx.shape
     C = g.shape[-1]
     gf = g if g.dtype == jnp.bfloat16 else g.astype(jnp.float32)
-    tile = min(tile, max(8, S))
+    tile = _group_tile(tile, ns, C, gf.dtype, S)
     pad_s = (-S) % tile
     if pad_s:
         # padded rows carry zero gradient -> contribute nothing
