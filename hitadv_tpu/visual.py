@@ -40,6 +40,92 @@ def save_png(path: str, points: np.ndarray,
     return True
 
 
+_HTML_TEMPLATE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>hitadv_tpu viewer</title>
+<style>
+ body {{ margin:0; background:#111; color:#ddd;
+        font:13px system-ui, sans-serif; }}
+ #hud {{ position:fixed; top:8px; left:10px; user-select:none; }}
+ #hud label {{ margin-right: 14px; cursor:pointer; }}
+ canvas {{ display:block; }}
+</style></head><body>
+<div id="hud">{toggles} &nbsp;drag: rotate &middot; wheel: zoom</div>
+<canvas id="c"></canvas>
+<script>
+const CLOUDS = {clouds_json};
+const COLORS = {colors_json};
+const cv = document.getElementById("c"), ctx = cv.getContext("2d");
+let rx = -0.4, ry = 0.6, zoom = 1.0, drag = null;
+const shown = Object.fromEntries(Object.keys(CLOUDS).map(k => [k, true]));
+for (const k of Object.keys(CLOUDS)) {{
+  const el = document.getElementById("t_" + k);
+  if (el) el.onchange = () => {{ shown[k] = el.checked; draw(); }};
+}}
+function draw() {{
+  const W = cv.width = innerWidth, H = cv.height = innerHeight;
+  ctx.clearRect(0, 0, W, H);
+  const s = Math.min(W, H) * 0.35 * zoom;
+  const ca = Math.cos(ry), sa = Math.sin(ry);
+  const cb = Math.cos(rx), sb = Math.sin(rx);
+  for (const [name, pts] of Object.entries(CLOUDS)) {{
+    if (!shown[name]) continue;
+    ctx.fillStyle = COLORS[name];
+    for (let i = 0; i < pts.length; i += 3) {{
+      const x = pts[i], y = pts[i+1], z = pts[i+2];
+      const x1 = ca*x + sa*z, z1 = -sa*x + ca*z;
+      const y1 = cb*y - sb*z1, z2 = sb*y + cb*z1;
+      const p = 2.2 / (2.2 + z2);
+      ctx.globalAlpha = Math.max(0.25, Math.min(1, p));
+      const r = Math.max(1, 2.2 * p * zoom);
+      ctx.fillRect(W/2 + x1*s*p - r/2, H/2 - y1*s*p - r/2, r, r);
+    }}
+  }}
+  ctx.globalAlpha = 1;
+}}
+cv.onmousedown = e => drag = [e.clientX, e.clientY];
+window.onmouseup = () => drag = null;
+window.onmousemove = e => {{
+  if (!drag) return;
+  ry += (e.clientX - drag[0]) * 0.008;
+  rx += (e.clientY - drag[1]) * 0.008;
+  drag = [e.clientX, e.clientY]; draw();
+}};
+window.onwheel = e => {{ zoom *= e.deltaY < 0 ? 1.1 : 0.9; draw(); }};
+window.onresize = draw;
+draw();
+</script></body></html>
+"""
+
+_PALETTE = ("#57a9f7", "#f7705c", "#7ed87e", "#e5c055", "#c08df0")
+
+
+def save_html(path: str, clouds: dict) -> None:
+    """Self-contained interactive 3-D viewer (rotate/zoom/toggle).
+
+    The TPU-pod answer to the reference's blocking mayavi window
+    (`visual.py:51-69`): a single HTML file with the clouds embedded
+    as JSON and a ~50-line canvas renderer — open it in any browser,
+    no GUI stack or network on the host. ``clouds`` maps name ->
+    [N, 3] array; each gets a color and an on/off toggle.
+    """
+    import json
+
+    names = list(clouds)
+    clouds_json = json.dumps({
+        n: [round(float(v), 5) for v in np.asarray(c)[:, :3].ravel()]
+        for n, c in clouds.items()})
+    colors_json = json.dumps({
+        n: _PALETTE[i % len(_PALETTE)] for i, n in enumerate(names)})
+    toggles = " ".join(
+        f'<label><input type="checkbox" id="t_{n}" checked> '
+        f'<span style="color:{_PALETTE[i % len(_PALETTE)]}">{n}'
+        f"</span></label>" for i, n in enumerate(names))
+    with open(path, "w") as f:
+        f.write(_HTML_TEMPLATE.format(clouds_json=clouds_json,
+                                      colors_json=colors_json,
+                                      toggles=toggles))
+
+
 def spectral_decompose(points: np.ndarray, low_pass: int = 100,
                        k: int = 30):
     """Low/high-frequency split through the graph-Laplacian eigenbasis.
@@ -129,6 +215,9 @@ def main(argv=None):
             outs.append(path)
             save_png(os.path.join(args.out_dir, f"{name}_{stamp}.png"),
                      cloud)
+        html_path = os.path.join(args.out_dir, f"spectral_{stamp}.html")
+        save_html(html_path, {"ori": xyz, "lfc": lfc, "hfc": hfc})
+        outs.append(html_path)
         print(f"spectral split (low_pass={args.low_pass}): saved "
               + ", ".join(outs))
         return lfc
@@ -144,8 +233,11 @@ def main(argv=None):
     save_asc(asc_path, adv)
     png_path = os.path.join(args.out_dir, f"adv_{stamp}.png")
     has_png = save_png(png_path, adv)
+    html_path = os.path.join(args.out_dir, f"adv_{stamp}.html")
+    save_html(html_path, {"clean": np.asarray(data[:, :3]),
+                          "adv": adv})
     print(f"clean pred {clean_pred}, adv pred {adv_pred}, "
-          f"success {success}; saved {asc_path}"
+          f"success {success}; saved {asc_path}, {html_path}"
           + (f" and {png_path}" if has_png else ""))
     return adv
 

@@ -21,6 +21,20 @@ class TestVisual:
         asc = [f for f in files if f.endswith(".asc")][0]
         loaded = np.loadtxt(tmp_path / asc)
         np.testing.assert_allclose(loaded, adv, atol=1e-5)
+        # interactive viewer: self-contained HTML with both clouds
+        html = [f for f in files if f.endswith(".html")][0]
+        text = (tmp_path / html).read_text()
+        assert text.startswith("<!DOCTYPE html>")
+        assert '"clean"' in text and '"adv"' in text
+        # all 128 adv points embedded (3 floats each)
+        import json
+        import re
+        clouds = json.loads(
+            re.search(r"const CLOUDS = (.*?);\n", text).group(1))
+        assert len(clouds["adv"]) == 128 * 3
+        np.testing.assert_allclose(
+            np.asarray(clouds["adv"]).reshape(128, 3), adv, atol=1e-4)
+        assert "<script>" in text and "onmousedown" in text
 
     def test_spectral_mode_cli(self, tmp_path):
         lfc = visual.main([
