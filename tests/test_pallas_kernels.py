@@ -367,6 +367,20 @@ class TestEdgeShapes:
                                    np.asarray(flat, np.float32),
                                    rtol=0, atol=5e-5)
 
+    def test_group_tile_vmem_cap(self):
+        """The S-tile shrinks until the [1, ns, tile, C] block is
+        under ~6 MB (the PCT group1 f32 8 MB block blew Mosaic's 16 MB
+        scoped-VMEM stack); measured-good bf16 cases keep their
+        probed tiles."""
+        # the shape that crashed: f32, ns=32, C=256 -> 128 (4.2 MB)
+        assert PK._group_tile(256, 32, 256, jnp.float32, 256) == 128
+        # probed-good bf16 cases stay at 256
+        assert PK._group_tile(256, 32, 256, jnp.bfloat16, 256) == 256
+        assert PK._group_tile(256, 32, 64, jnp.bfloat16, 512) == 256
+        # never above S, floor of 64 even for huge rows
+        assert PK._group_tile(256, 32, 64, jnp.bfloat16, 40) == 40
+        assert PK._group_tile(256, 128, 1024, jnp.float32, 512) == 64
+
     def test_gather_group_nm_fwd_bwd_vs_xla(self, rng):
         """G.gather_group_nm value and grad equal the XLA autodiff
         formulation (transpose of index_points)."""
