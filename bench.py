@@ -207,19 +207,6 @@ def _bench_cw_iters(jax, jnp, B=64, N=1024, ITERS=100):
     return ITERS / dt
 
 
-def _enable_compile_cache(jax) -> None:
-    """Persistent XLA compilation cache: the scanned attack programs
-    take minutes to compile through the remote-compile tunnel; caching
-    makes repeat bench runs start in seconds."""
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass
-
-
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -231,7 +218,9 @@ def main() -> None:
     if want:
         jax.config.update("jax_platforms", want)
 
-    _enable_compile_cache(jax)
+    from hitadv_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
 
     hit = _bench_hit_adv(jax, jnp, want_flops=True)
     dgc = _bench_hit_adv(jax, jnp, victim="dgcnn", B=16,

@@ -108,8 +108,10 @@ class EvalConfig:
     # parallelism: independent restarts across devices"): run R
     # PRNG-independent instances of the attack on the SAME batch and
     # keep, per example, the first successful restart's cloud
-    # (`parallel/population.py`). When R divides the device count the
-    # restart axis is sharded over the mesh — a pure-compute scale-out.
+    # (`parallel/population.py`). The restart axis is sharded over the
+    # largest device subset whose size divides R (gcd(R, n_devices) —
+    # e.g. R=12 on 8 devices runs 3 restarts on each of 4 devices), a
+    # pure-compute scale-out.
     # Mutually exclusive with n_devices/sp_devices (one mesh axis per
     # attack program).
     restarts: int = 0

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import functools
+import math
 from typing import Callable, Optional
 
 
@@ -312,27 +313,17 @@ def build_batches(cfg: EvalConfig):
                                num_workers=cfg.num_workers)
 
 
-def _enable_compile_cache(jax) -> None:
-    """Persistent XLA compilation cache (scanned attacks take minutes
-    to compile through the remote-compile tunnel on first use)."""
-    import os
-
-    cache_dir = os.environ.get(
-        "HITADV_CACHE_DIR",
-        os.path.join(os.path.expanduser("~"), ".cache", "hitadv_jax"))
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass
-
-
 def main(argv=None) -> dict:
     import itertools
 
     import jax
 
-    _enable_compile_cache(jax)
+    # single shared compile-cache enabler (HITADV_COMPILE_CACHE,
+    # default repo-local .jax_cache) so the CLI, bench.py, and the
+    # probe scripts reuse each other's compiled programs
+    from hitadv_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     from hitadv_tpu.evaluation import eval_asr
     from hitadv_tpu.parallel import make_mesh, shard_attack
 
@@ -383,9 +374,11 @@ def main(argv=None) -> dict:
                 " per attack program")
         from hitadv_tpu.parallel import population_attack
 
-        n_dev = len(jax.devices())
-        pop_mesh = (make_mesh(n_dev) if n_dev > 1
-                    and cfg.restarts % n_dev == 0 else None)
+        # shard the restart axis over the LARGEST device subset that
+        # divides R — e.g. R=12 on 8 devices runs 3 restarts on each of
+        # gcd(12, 8)=4 devices instead of silently falling back to one
+        n_dev = math.gcd(len(jax.devices()), cfg.restarts)
+        pop_mesh = make_mesh(n_dev) if n_dev > 1 else None
         attack = population_attack(attack, cfg.restarts, mesh=pop_mesh)
     elif cfg.n_devices and cfg.n_devices > 1:
         attack = shard_attack(attack, make_mesh(cfg.n_devices))

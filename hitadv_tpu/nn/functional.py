@@ -230,41 +230,17 @@ def batchnorm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
 # Activations
 # ---------------------------------------------------------------------------
 
-@jax.custom_vjp
-def max_mid(x: jnp.ndarray) -> jnp.ndarray:
-    """``jnp.max(x, axis=-2)`` with an elementwise VJP.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def max_axis(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """``jnp.max(x, axis)`` with an elementwise tie-splitting VJP.
 
     XLA lowers reduce-max's autodiff transpose to a select-and-scatter
     fusion (profiled at 1.3 ms/iter for PointConv's density maxes
     alone); the mask/count formulation computes the identical
-    tie-splitting gradient with plain elementwise ops. Used for the
-    neighbor-axis max of grouped features ([..., ns, C] -> [..., C])
-    in PointNet++/PCT set abstractions.
-    """
-    return jnp.max(x, axis=-2)
-
-
-def _max_mid_fwd(x):
-    m = jnp.max(x, axis=-2)
-    return m, (x, m)
-
-
-def _max_mid_bwd(res, g):
-    x, m = res
-    mask = (x == m[..., None, :]).astype(g.dtype)
-    cnt = jnp.sum(mask, axis=-2, keepdims=True)
-    return (mask * (g[..., None, :] / cnt),)
-
-
-max_mid.defvjp(_max_mid_fwd, _max_mid_bwd)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def max_axis(x: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """``jnp.max(x, axis)`` with the same elementwise tie-splitting
-    VJP as `max_mid` — for the neighbors-major [B, ns, S, C] grouped
-    layout (`ops.geometry.gather_group_nm`), whose neighbor axis is 1
-    rather than -2."""
+    tie-splitting gradient with plain elementwise ops. Covers both the
+    grouped [..., ns, C] layout (axis=-2, see `max_mid`) and the
+    neighbors-major [B, ns, S, C] layout (axis=1,
+    `ops.geometry.gather_group_nm`)."""
     return jnp.max(x, axis=axis)
 
 
@@ -281,6 +257,14 @@ def _max_axis_bwd(axis, res, g):
 
 
 max_axis.defvjp(_max_axis_fwd, _max_axis_bwd)
+
+
+def max_mid(x: jnp.ndarray) -> jnp.ndarray:
+    """``jnp.max(x, axis=-2)`` — the neighbor-axis max of grouped
+    features ([..., ns, C] -> [..., C]) in PointNet++/PCT set
+    abstractions. Thin alias of `max_axis` so the tie-splitting VJP
+    has exactly one definition."""
+    return max_axis(x, -2)
 
 
 def relu(x: jnp.ndarray) -> jnp.ndarray:

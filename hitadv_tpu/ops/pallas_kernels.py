@@ -1529,8 +1529,11 @@ def _group_tile(tile: int, ns: int, C: int, dtype, S: int) -> int:
     bytes_per_row = ns * C * jnp.dtype(dtype).itemsize
     # 6 MB keeps the measured-good bf16 cases at their probed tiles
     # (ns=32 C=256 bf16 = 4.2 MB compiled and ran); the f32 8.4 MB
-    # block is what blew the stack
-    while tile > 64 and tile * bytes_per_row > 6 * 2 ** 20:
+    # block is what blew the stack. Floor is 8 (one sublane), not a
+    # perf-motivated 64: ns*C can be wide enough (e.g. ns=128, C=1024
+    # f32 = 512 KB/row) that tile=64 would still double the 16 MB
+    # scoped-VMEM stack — the cap must always win.
+    while tile > 8 and tile * bytes_per_row > 6 * 2 ** 20:
         tile //= 2
     return min(tile, max(8, S))
 

@@ -173,11 +173,6 @@ def main(argv=None) -> int:
                       file=sys.stderr)
                 return 1
             print(f"sha256 ok: {digest}")
-        else:
-            with open(SHA_FILE, "w") as f:
-                f.write(f"{digest}  {DIR_NAME}.zip\n")
-            print(f"sha256 {digest} recorded to {SHA_FILE} — commit it "
-                  "to pin future fetches")
 
         print("extracting...")
         with zipfile.ZipFile(zpath) as z:
@@ -190,6 +185,14 @@ def main(argv=None) -> int:
             raise ValueError(
                 f"archive did not contain {DIR_NAME}/ at its root")
         _validate_h5_tree(src)
+        if expected is None:
+            # Trust-on-first-use: record the pin only AFTER the archive
+            # extracted and validated — a truncated download or an
+            # HTML-200 error page must never become the pinned hash.
+            with open(SHA_FILE, "w") as f:
+                f.write(f"{digest}  {DIR_NAME}.zip\n")
+            print(f"sha256 {digest} recorded to {SHA_FILE} — commit it "
+                  "to pin future fetches")
         os.makedirs(args.dest, exist_ok=True)
         shutil.move(src, target)
         print(f"ready: {target}")

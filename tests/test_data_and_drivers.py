@@ -285,6 +285,20 @@ class TestCLIRestarts:
                   "--log_dir", ""])
         assert np.isfinite(m["asr"])
 
+    def test_eval_cli_restarts_non_divisible(self):
+        """R not divisible by the device count still shards: the driver
+        meshes gcd(R, n_devices) devices (R=12 on the 8-device suite
+        mesh -> 3 restarts on each of 4 devices) instead of silently
+        running all restarts on one device."""
+        from hitadv_tpu.eval import main
+
+        m = main(["--dataset", "synthetic", "--batch_size", "4",
+                  "--num_point", "64", "--synthetic_size", "4",
+                  "--attack_type", "FGSM_RS", "--budget", "0.05",
+                  "--num_iter", "2", "--restarts", "12",
+                  "--log_dir", ""])
+        assert np.isfinite(m["asr"])
+
     def test_restart_superset_of_successes_e2e(self):
         """The population-wrapped attack built by the driver keeps, per
         example, the OR of the restarts' successes: every example any

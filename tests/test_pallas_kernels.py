@@ -377,9 +377,14 @@ class TestEdgeShapes:
         # probed-good bf16 cases stay at 256
         assert PK._group_tile(256, 32, 256, jnp.bfloat16, 256) == 256
         assert PK._group_tile(256, 32, 64, jnp.bfloat16, 512) == 256
-        # never above S, floor of 64 even for huge rows
+        # never above S
         assert PK._group_tile(256, 32, 64, jnp.bfloat16, 40) == 40
-        assert PK._group_tile(256, 128, 1024, jnp.float32, 512) == 64
+        # wide rows keep shrinking below 64 — the cap must always win
+        # (ns=128, C=1024 f32 is 512 KB/row; tile=64 would be a 32 MB
+        # block, double the 16 MB scoped-VMEM stack)
+        assert PK._group_tile(256, 128, 1024, jnp.float32, 512) == 8
+        # floor is one sublane (8) even for absurd rows
+        assert PK._group_tile(256, 512, 4096, jnp.float32, 512) == 8
 
     def test_gather_group_nm_fwd_bwd_vs_xla(self, rng):
         """G.gather_group_nm value and grad equal the XLA autodiff
