@@ -84,8 +84,25 @@ def enable_compile_cache(min_secs: int = 5) -> None:
     The scanned attack programs take minutes to compile through the
     remote-compile tunnel; caching makes repeat runs of the bench /
     verify / probe scripts start in seconds. Safe to call anywhere
-    (silently a no-op on jax versions without the config knobs)."""
+    (silently a no-op on jax versions without the config knobs).
+
+    NO-OP when the configured platform is CPU: reloading an XLA:CPU
+    AOT cache entry is broken for multi-device collective programs —
+    the deserialized executable's collective thunks miss their
+    rendezvous (2/8 threads arrive at the all-gather) and XLA
+    ``abort()``\\ s the process after the 40 s termination timeout
+    ("Exiting to ensure a consistent program state"). Reproduced
+    deterministically on jaxlib's 8-virtual-device CPU mesh with the
+    sharded fused-DGCNN attack: first process (cache write) passes,
+    every later process (cache read) dies with SIGABRT. The cache
+    exists to amortize remote-TPU compiles; CPU compiles take seconds,
+    so caching them is pure risk."""
     import os
+
+    platforms = jax.config.jax_platforms or os.environ.get(
+        "JAX_PLATFORMS", "")
+    if platforms.split(",")[0].strip().lower() == "cpu":
+        return
 
     cache_dir = os.environ.get(
         "HITADV_COMPILE_CACHE",

@@ -118,6 +118,25 @@ class TestMetersAndTimers:
         t.reset()
         assert t.totals == {}
 
+    def test_compile_cache_noop_on_cpu(self):
+        """enable_compile_cache must NOT turn on the persistent cache
+        when the configured platform is CPU: reloading an XLA:CPU AOT
+        cache entry breaks multi-device collective programs — the
+        deserialized executable's collective thunks miss their 8-way
+        rendezvous and XLA aborts the whole process after 40 s
+        ("Exiting to ensure a consistent program state", SIGABRT).
+        Reproduced deterministically with the sharded fused-DGCNN
+        attack: the suite run that WROTE the entry passed; every later
+        suite process that READ it died at the same test. The eval CLI
+        tests call enable_compile_cache in-process, so without this
+        guard they poison the rest of the suite."""
+        from hitadv_tpu.utils import enable_compile_cache
+
+        assert jax.config.jax_platforms.split(",")[0] == "cpu"
+        before = jax.config.jax_compilation_cache_dir
+        enable_compile_cache()
+        assert jax.config.jax_compilation_cache_dir == before
+
 
 class TestGeoA3Model:
     def test_forward_and_parity(self, rng):
