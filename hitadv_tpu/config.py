@@ -109,9 +109,9 @@ class EvalConfig:
     # PRNG-independent instances of the attack on the SAME batch and
     # keep, per example, the first successful restart's cloud
     # (`parallel/population.py`). The restart axis is sharded over the
-    # largest device subset whose size divides R (gcd(R, n_devices) —
-    # e.g. R=12 on 8 devices runs 3 restarts on each of 4 devices), a
-    # pure-compute scale-out.
+    # largest device subset whose size divides R (max k <= n_devices
+    # with R % k == 0 — e.g. R=12 on 8 devices runs 2 restarts on each
+    # of 6 devices; R=3 runs 1 on each of 3), a pure-compute scale-out.
     # Mutually exclusive with n_devices/sp_devices (one mesh axis per
     # attack program).
     restarts: int = 0

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import argparse
 import functools
-import math
 from typing import Callable, Optional
 
 
@@ -374,10 +373,15 @@ def main(argv=None) -> dict:
                 " per attack program")
         from hitadv_tpu.parallel import population_attack
 
-        # shard the restart axis over the LARGEST device subset that
-        # divides R — e.g. R=12 on 8 devices runs 3 restarts on each of
-        # gcd(12, 8)=4 devices instead of silently falling back to one
-        n_dev = math.gcd(len(jax.devices()), cfg.restarts)
+        # shard the restart axis over the LARGEST device subset whose
+        # size divides R (make_mesh slices devices[:n], so any n up to
+        # the device count works): R=12 on 8 devices -> 2 restarts on
+        # each of 6 devices; R=3 -> 1 on each of 3. gcd would be wrong
+        # here — gcd(12, 8)=4 wastes two usable devices and gcd(3, 8)=1
+        # silently runs everything on one.
+        n_avail = len(jax.devices())
+        n_dev = max(k for k in range(1, n_avail + 1)
+                    if cfg.restarts % k == 0)
         pop_mesh = make_mesh(n_dev) if n_dev > 1 else None
         attack = population_attack(attack, cfg.restarts, mesh=pop_mesh)
     elif cfg.n_devices and cfg.n_devices > 1:

@@ -154,8 +154,12 @@ def gather_group_nm(points: jnp.ndarray,
     _check_idx(idx, "gather_group_nm:idx")
     B, N, C = points.shape
     S, ns = idx.shape[1], idx.shape[2]
+    # last clause: one sublane of rows must fit the grouped kernels'
+    # ~6 MB scoped-VMEM block cap (pallas_kernels._group_tile raises
+    # past it — fwd AND bwd scatter share this row width)
     if (_pallas_active() and N >= 128 and S * ns >= 2048 and ns <= 128
-            and points.dtype in (jnp.bfloat16, jnp.float32)):
+            and points.dtype in (jnp.bfloat16, jnp.float32)
+            and 8 * ns * C * points.dtype.itemsize <= 6 * 2 ** 20):
         return _gather_group_mxu(N, points, idx)
     return jnp.transpose(index_points(points, idx), (0, 2, 1, 3))
 

@@ -1535,6 +1535,15 @@ def _group_tile(tile: int, ns: int, C: int, dtype, S: int) -> int:
     # scoped-VMEM stack — the cap must always win.
     while tile > 8 and tile * bytes_per_row > 6 * 2 ** 20:
         tile //= 2
+    if 8 * bytes_per_row > 6 * 2 ** 20:
+        # even one sublane of rows overflows the cap — there is no
+        # valid tile; the caller must take the XLA path instead
+        # (geometry.gather_group_nm's dispatch gate mirrors this bound)
+        raise ValueError(
+            f"grouped-kernel row of {bytes_per_row} bytes (ns={ns}, "
+            f"C={C}, {jnp.dtype(dtype).name}) cannot fit the ~6 MB "
+            "scoped-VMEM block cap even at the one-sublane tile; use "
+            "the XLA path for this shape")
     return min(tile, max(8, S))
 
 

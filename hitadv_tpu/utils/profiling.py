@@ -99,15 +99,30 @@ def enable_compile_cache(min_secs: int = 5) -> None:
     so caching them is pure risk."""
     import os
 
-    platforms = jax.config.jax_platforms or os.environ.get(
-        "JAX_PLATFORMS", "")
-    if platforms.split(",")[0].strip().lower() == "cpu":
+    platform = (jax.config.jax_platforms
+                or os.environ.get("JAX_PLATFORMS", "")
+                ).split(",")[0].strip().lower()
+    if not platform:
+        # No explicit platform anywhere: resolve the default backend
+        # (initializes it — the caller is about to use jax anyway).
+        # Fail CLOSED on error: an unknown platform must not re-enable
+        # the CPU abort above.
+        try:
+            platform = jax.default_backend()
+        except Exception:
+            platform = "cpu"
+    if platform == "cpu":
         return
 
-    cache_dir = os.environ.get(
-        "HITADV_COMPILE_CACHE",
-        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))), ".jax_cache"))
+    cache_dir = os.environ.get("HITADV_COMPILE_CACHE")
+    if cache_dir is None and os.environ.get("HITADV_CACHE_DIR"):
+        # the eval CLI's historical cache-root knob (still used for the
+        # AE fit cache) keeps steering the compile cache too
+        cache_dir = os.path.join(os.environ["HITADV_CACHE_DIR"],
+                                 "jax_compile")
+    if cache_dir is None:
+        cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",

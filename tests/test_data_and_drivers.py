@@ -285,19 +285,33 @@ class TestCLIRestarts:
                   "--log_dir", ""])
         assert np.isfinite(m["asr"])
 
-    def test_eval_cli_restarts_non_divisible(self):
+    def test_eval_cli_restarts_non_divisible(self, monkeypatch):
         """R not divisible by the device count still shards: the driver
-        meshes gcd(R, n_devices) devices (R=12 on the 8-device suite
-        mesh -> 3 restarts on each of 4 devices) instead of silently
-        running all restarts on one device."""
+        meshes the LARGEST device subset whose size divides R (R=12 on
+        the 8-device suite mesh -> 2 restarts on each of 6 devices)
+        instead of silently running all restarts on one device. The
+        mesh size is asserted via a population_attack spy — a finite
+        ASR alone also holds for the unsharded fallback and would not
+        catch a regression."""
+        from hitadv_tpu import parallel
         from hitadv_tpu.eval import main
 
+        seen = {}
+        real = parallel.population_attack
+
+        def spy(attack, restarts, mesh=None):
+            seen["restarts"] = restarts
+            seen["mesh_devices"] = None if mesh is None else mesh.size
+            return real(attack, restarts, mesh=mesh)
+
+        monkeypatch.setattr(parallel, "population_attack", spy)
         m = main(["--dataset", "synthetic", "--batch_size", "4",
                   "--num_point", "64", "--synthetic_size", "4",
                   "--attack_type", "FGSM_RS", "--budget", "0.05",
                   "--num_iter", "2", "--restarts", "12",
                   "--log_dir", ""])
         assert np.isfinite(m["asr"])
+        assert seen == {"restarts": 12, "mesh_devices": 6}
 
     def test_restart_superset_of_successes_e2e(self):
         """The population-wrapped attack built by the driver keeps, per

@@ -383,8 +383,29 @@ class TestEdgeShapes:
         # (ns=128, C=1024 f32 is 512 KB/row; tile=64 would be a 32 MB
         # block, double the 16 MB scoped-VMEM stack)
         assert PK._group_tile(256, 128, 1024, jnp.float32, 512) == 8
-        # floor is one sublane (8) even for absurd rows
-        assert PK._group_tile(256, 512, 4096, jnp.float32, 512) == 8
+        # a row wider than the cap even at the one-sublane tile has NO
+        # valid tile: the kernel refuses (a tile=8 return here would be
+        # a guaranteed Mosaic scoped-VMEM compile crash on hardware —
+        # ns=512, C=4096 f32 is 8 MB/row) and geometry.gather_group_nm's
+        # dispatch gate routes such shapes to the XLA path instead
+        with pytest.raises(ValueError, match="cannot fit"):
+            PK._group_tile(256, 512, 4096, jnp.float32, 512)
+
+    def test_gather_group_nm_wide_row_takes_xla_path(self, rng):
+        """Shapes whose one-sublane block exceeds the grouped kernels'
+        VMEM cap must dispatch to XLA, not the Pallas kernel (which
+        raises for them)."""
+        from hitadv_tpu.ops import set_backend
+
+        pts = jnp.asarray(rng.randn(1, 256, 13000), jnp.float32)
+        idx = jnp.asarray(rng.randint(0, 256, (1, 64, 32)), jnp.int32)
+        set_backend("pallas")
+        try:
+            out = G.gather_group_nm(pts, idx)   # 13000*32*4 > 6 MB/8
+        finally:
+            set_backend("auto")
+        want = jnp.transpose(G.index_points(pts, idx), (0, 2, 1, 3))
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
 
     def test_gather_group_nm_fwd_bwd_vs_xla(self, rng):
         """G.gather_group_nm value and grad equal the XLA autodiff
