@@ -407,7 +407,8 @@ def knn_idx(query: jnp.ndarray, points: jnp.ndarray,
         from hitadv_tpu.ops import pallas_kernels as PK
 
         packed = (query.shape[-1] <= 4
-                  or query.dtype == jnp.bfloat16)
+                  or (query.dtype == jnp.bfloat16
+                      and points.dtype == jnp.bfloat16))
         _, idx = PK.knn_pallas(query, points, k, packed=packed)
         return idx
     return _knn_xla(query, points, k).idx
@@ -469,7 +470,7 @@ def farthest_point_sample(xyz: jnp.ndarray, npoint: int,
     if key is not None:
         farthest0 = jax.random.randint(key, (B,), 0, N, dtype=jnp.int32)
     else:
-        farthest0 = jnp.full((B,), start_idx, dtype=jnp.int32)
+        farthest0 = jnp.full((B,), start_idx or 0, dtype=jnp.int32)
 
     def body(i, carry):
         distance, farthest, centroids = carry
@@ -787,7 +788,15 @@ def gaussian_blend(central: jnp.ndarray, ori: jnp.ndarray,
         negd = neg_gaussian_field(central, ori)               # [B, Cn, N]
     ker = jnp.exp(negd / (2.0 * delta * delta)[..., None])
     deno = jnp.sum(ker, axis=1)                               # [B, N]
+    # HIGHEST, not DEFAULT: on TPU the MXU's DEFAULT rounds the f32
+    # pert/ker operands to bf16 (~2^-9 relative) while deno stays an
+    # exact f32 sum, so num/deno would stop being a consistent convex
+    # blend — the same ~2e-3 error class the broadcast-subtract
+    # distance above was chosen to avoid. The contraction is tiny
+    # (B*N*3*Cn ~ 75 MFLOP at the flagship shape) next to the 0.6 ms
+    # exp field, so the 6-pass cost is noise.
     num = jnp.einsum("bjc,bjn->bnc", pert, ker,
+                     precision=lax.Precision.HIGHEST,
                      preferred_element_type=jnp.float32)      # [B, N, 3]
     return num, deno
 

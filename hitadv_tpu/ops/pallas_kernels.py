@@ -979,10 +979,9 @@ def graph_max_pool_bwd_pallas(idx: jnp.ndarray, amax: jnp.ndarray,
         amax = jnp.pad(amax, ((0, 0), (0, pad_n), (0, 0)))
     Nr = N + pad_n
     pad_out = (-n_points) % 128
+    # Np > n_points pads the OUTPUT block only (BlockSpec/out_shape
+    # below); the final [:, :n_points] slice drops the pad rows.
     Np = n_points + pad_out
-    if Np != n_points:
-        # target rows only reach n_points-1; pad block only
-        pass
     k_pad = -(-k // 128) * 128
     if k_pad != k:
         idx = jnp.pad(idx, ((0, 0), (0, 0), (0, k_pad - k)))
@@ -1390,10 +1389,13 @@ def _scatter_add_rows_kernel(idx_ref, g_ref, out_ref, *, k: int):
     g[n, j*Cchunk...]: the gather-VJP scatter-add as one-hot^T matmuls.
 
     idx_ref: [1, T, k_pad] int32 (k index columns per row);
-    g_ref: [1, T, k_pad is folded into rows upstream] — here g is
-    [1, T, C] with k == 1 (rows pre-flattened); kept general over k for
-    symmetry with the max-pool kernel.
+    g_ref: [1, T, C] — k MUST be 1 (callers pre-flatten the k columns
+    into rows): g carries no per-j slice, so a k > 1 instantiation
+    would scatter the SAME [T, C] tile once per index column — a
+    silently wrong gradient. The grouped sibling
+    `_scatter_add_group_kernel` is the real k > 1 kernel.
     """
+    assert k == 1, "scatter_add_rows: pre-flatten k into rows (see doc)"
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -1417,9 +1419,15 @@ def _scatter_add_rows_kernel(idx_ref, g_ref, out_ref, *, k: int):
     # O(2) data) — gradient-grade exact. bf16 gradients stay 1-pass.
     f32 = g.dtype == jnp.float32
     if f32:
-        ghi = g.astype(jnp.bfloat16)
-        glo = (g - ghi.astype(jnp.float32)).astype(jnp.bfloat16)
-        g = jnp.concatenate([ghi, glo], axis=1)              # [T, 2C]
+        # reduce_precision, NOT an astype round-trip, for the hi
+        # plane: --xla_allow_excess_precision licenses the compiler
+        # to elide convert(convert(g, bf16), f32) -> g, which would
+        # zero the lo plane (see _split3_bf16 — measured there).
+        ghi = lax.reduce_precision(g, 8, 7)
+        glo = g - ghi
+        g = jnp.concatenate([ghi.astype(jnp.bfloat16),
+                             glo.astype(jnp.bfloat16)], axis=1)
+
     C = out_ref.shape[-1]
     for j in range(k):
         onehotT = (rowT == idx[:, j][None, :]).astype(g.dtype)
@@ -1510,9 +1518,12 @@ def _scatter_add_group_kernel(idx_ref, g_ref, out_ref, *, k: int):
         gj = g_ref[0, j]                # [T, C] (neighbors-major)
         f32 = gj.dtype == jnp.float32
         if f32:
-            ghi = gj.astype(jnp.bfloat16)
-            glo = (gj - ghi.astype(jnp.float32)).astype(jnp.bfloat16)
-            gj = jnp.concatenate([ghi, glo], axis=1)         # [T, 2C]
+            # reduce_precision: astype(bf16).astype(f32) is elidable
+            # under --xla_allow_excess_precision (see _split3_bf16)
+            ghi = lax.reduce_precision(gj, 8, 7)
+            glo = gj - ghi
+            gj = jnp.concatenate([ghi.astype(jnp.bfloat16),
+                                  glo.astype(jnp.bfloat16)], axis=1)
         onehotT = (rowT == idx[:, j][None, :]).astype(gj.dtype)
         acc = jax.lax.dot_general(
             onehotT, gj, (((1,), (0,)), ((), ())),
@@ -1832,11 +1843,13 @@ def _maxlin_fwd_kernel(h_ref, w_ref, mx_ref, row_ref, *,
     row_ref[0] = jnp.where(better, ridx, row)
 
 
-def max_linear_pallas(h: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
-                      tile_n: int = 512):
+def max_linear_pallas(h: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray):
     """(mx8 [B, 8, C] f32, row8 [B, 8, C] i32) partials of
     ``max_n (h @ w + b)``; combine with a first-argmax reduce over
-    axis 1 (8 rows — trivial on the XLA side)."""
+    axis 1 (8 rows — trivial on the XLA side).
+
+    The N-tile is not a caller knob: it is always the largest
+    power-of-two <= min(1024, N) (see below)."""
     B, N, K = h.shape
     C = w.shape[1]
     # the in-kernel fold needs a power-of-two tile >= 16. Cap 1024:
