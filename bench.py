@@ -158,15 +158,17 @@ def _bench_hit_adv(jax, jnp, victim="pointnet", B=64, N=1024, bf16=True,
     return out
 
 
-def _bench_cw_iters(jax, jnp, B=64, N=1024, ITERS=100):
+def _make_cw_run(jax, jnp, B, N, ITERS):
+    """Build the jitted CW-Perturb hot loop (`CW/Perturb.py:95-173`).
+
+    Returns ``(run, pts)``. Shared with `scripts/profile_cw.py` so the
+    profiler traces the exact program the bench times.
+    """
     from jax import lax
 
     from hitadv_tpu import losses
     from hitadv_tpu.attacks import base
     from hitadv_tpu.models import pointnet
-
-    if SMOKE:
-        B, N, ITERS = 4, 64, 5
 
     params = pointnet.init(jax.random.PRNGKey(0))
     logits_fn = lambda x: pointnet.apply(params, x)  # noqa: E731
@@ -199,6 +201,14 @@ def _bench_cw_iters(jax, jnp, B=64, N=1024, ITERS=100):
         init = (pts, base.adam_init(pts), jnp.full((B,), 1e10))
         (adv, _, best), _ = lax.scan(one_iter, init, None, length=ITERS)
         return adv
+
+    return run, pts
+
+
+def _bench_cw_iters(jax, jnp, B=64, N=1024, ITERS=100):
+    if SMOKE:
+        B, N, ITERS = 4, 64, 5
+    run, pts = _make_cw_run(jax, jnp, B, N, ITERS)
 
     np.asarray(run(pts))
     t0 = time.perf_counter()

@@ -188,12 +188,21 @@ _gather_group_mxu.defvjp(_gather_group_fwd, _gather_group_bwd)
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _gather_rows_mxu(n_points, points, idx_flat):
     if (points.dtype in (jnp.bfloat16, jnp.float32) and _pallas_active()
-            and idx_flat.shape[1] >= 2048):
+            and (idx_flat.shape[1] >= 2048
+                 or (idx_flat.shape[1] >= 512
+                     and points.shape[1] <= 4096))):
         # bitwise exact both ways: bf16 rides one native MXU pass (a
         # one-hot row selects a single value); f32 is decomposed into
         # three exact bf16 planes (hi|mid|lo) and reconstructed in the
         # f32 accumulator. XLA's dynamic-slice gather loop measured
         # 2.7 ms/iter for PointConv's [16,16384] f32 gathers alone.
+        # Gate: XLA's serial gather costs ~constant per row (~9 ns
+        # measured) regardless of N, while the one-hot kernel's cost
+        # per row scales with N — so at SMALL N the kernel wins even
+        # for mid-size M. The CW-Perturb chamfer backward's
+        # [64,1024]-row f32 gather from a [64,1024,3] cloud was 580
+        # us/iter as an XLA gather vs ~0.1 ms one-hot (r4 profile,
+        # RESULTS.md "CW-Perturb floor attribution").
         from hitadv_tpu.ops import pallas_kernels as PK
 
         return PK.gather_rows_pallas(points, idx_flat)

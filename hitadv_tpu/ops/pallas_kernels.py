@@ -1419,15 +1419,17 @@ def _scatter_add_rows_kernel(idx_ref, g_ref, out_ref, *, k: int):
     # O(2) data) — gradient-grade exact. bf16 gradients stay 1-pass.
     f32 = g.dtype == jnp.float32
     if f32:
-        # reduce_precision, NOT an astype round-trip, for the hi
-        # plane: --xla_allow_excess_precision licenses the compiler
-        # to elide convert(convert(g, bf16), f32) -> g, which would
-        # zero the lo plane (see _split3_bf16 — measured there).
-        ghi = lax.reduce_precision(g, 8, 7)
-        glo = g - ghi
-        g = jnp.concatenate([ghi.astype(jnp.bfloat16),
-                             glo.astype(jnp.bfloat16)], axis=1)
-
+        # astype round-trip, NOT lax.reduce_precision: reduce_precision
+        # has no Pallas TPU lowering (Mosaic "Unimplemented primitive
+        # ... reduce_precision", caught by scripts/tpu_verify.py), and
+        # the XLA excess-precision elision that makes the round-trip
+        # unsafe HOST-side (_split3_bf16) does not happen in Mosaic —
+        # the round-2 hardware measurement (2.8e-5 max error, not the
+        # 2^-9 a zeroed lo plane would give) proves the convert pair
+        # survives.
+        ghi = g.astype(jnp.bfloat16)
+        glo = (g - ghi.astype(jnp.float32)).astype(jnp.bfloat16)
+        g = jnp.concatenate([ghi, glo], axis=1)              # [T, 2C]
     C = out_ref.shape[-1]
     for j in range(k):
         onehotT = (rowT == idx[:, j][None, :]).astype(g.dtype)
@@ -1518,12 +1520,12 @@ def _scatter_add_group_kernel(idx_ref, g_ref, out_ref, *, k: int):
         gj = g_ref[0, j]                # [T, C] (neighbors-major)
         f32 = gj.dtype == jnp.float32
         if f32:
-            # reduce_precision: astype(bf16).astype(f32) is elidable
-            # under --xla_allow_excess_precision (see _split3_bf16)
-            ghi = lax.reduce_precision(gj, 8, 7)
-            glo = gj - ghi
-            gj = jnp.concatenate([ghi.astype(jnp.bfloat16),
-                                  glo.astype(jnp.bfloat16)], axis=1)
+            # astype round-trip, NOT lax.reduce_precision (no Pallas
+            # TPU lowering; Mosaic does not elide the convert pair —
+            # see _scatter_add_rows_kernel)
+            ghi = gj.astype(jnp.bfloat16)
+            glo = (gj - ghi.astype(jnp.float32)).astype(jnp.bfloat16)
+            gj = jnp.concatenate([ghi, glo], axis=1)         # [T, 2C]
         onehotT = (rowT == idx[:, j][None, :]).astype(gj.dtype)
         acc = jax.lax.dot_general(
             onehotT, gj, (((1,), (0,)), ((), ())),
