@@ -251,11 +251,23 @@ def main() -> None:
             except Exception as e:   # e.g. VMEM/HBM limit at large B
                 b_scaling[str(b)] = f"failed: {type(e).__name__}"
 
+    # vs_baseline: prefer a published reference number (there is none —
+    # BASELINE.md), else the measured torch-CPU reference baseline
+    # written by scripts/bench_reference.py (cross-hardware: reference
+    # CUDA path can't run here; caveat recorded in BASELINE.json/md).
     baseline = None
+    baseline_kind = None
     try:
-        with open("BASELINE.json") as f:
-            baseline = json.load(f).get("published", {}).get(
-                "attack_examples_per_sec")
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BASELINE.json")) as f:
+            bj = json.load(f)
+        baseline = bj.get("published", {}).get("attack_examples_per_sec")
+        baseline_kind = "published" if baseline else None
+        if not baseline:
+            baseline = bj.get("measured", {}).get(
+                "reference_cpu", {}).get("hitadv_examples_per_sec")
+            baseline_kind = "measured_reference_torch_cpu" if baseline \
+                else None
     except Exception:
         pass
     vs = (hit["examples_per_sec"] / baseline) if baseline else 1.0
@@ -270,11 +282,23 @@ def main() -> None:
         "batch": hit["batch"], "points": hit["points"],
         "b_scaling_examples_per_sec": b_scaling,
     }
+    if baseline_kind:
+        extra["baseline_kind"] = baseline_kind
+    # MFU must never silently vanish (VERDICT r4 Weak #6): if XLA's
+    # cost_analysis() yields no FLOPs (jax version drift, backend
+    # change), record an explicit null + warning instead of dropping
+    # the key, so the degradation is visible in the BENCH record.
     if "mfu" in hit:
         extra["mfu"] = round(hit["mfu"], 4)
         extra["attack_tflops"] = round(hit["flops"] / 1e12, 2)
+    else:
+        extra["mfu"] = None
+        extra["mfu_warning"] = ("cost_analysis() reported no FLOPs for "
+                                "the flagship scan body; MFU unavailable")
     if "mfu" in dgc:
         extra["dgcnn_mfu"] = round(dgc["mfu"], 4)
+    elif not SMOKE:
+        extra["dgcnn_mfu"] = None
     # Model-FLOPs MFU is a meaningless ceiling for a selection/
     # movement-bound program (the numerator excludes the one-hot
     # matmuls and the FLOP-free kNN selection loop that ARE the
