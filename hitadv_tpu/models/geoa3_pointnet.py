@@ -80,12 +80,14 @@ def apply_full(params: Dict, x: jnp.ndarray
                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """x: [B, N, 3] -> (logits, per-channel argmax point idx)."""
     trans = _transform_apply(params["input_transform"], x, 3)
-    h = jnp.matmul(x, trans, preferred_element_type=jnp.float32)
-    h = F.relu(F.linear_bn(params["conv1"], params["bn1"], h, eps=_EPS))
+    # transform folded into the following conv weight (F.linear_bn_pre):
+    # the tile-padded [B, N, 3] transformed cloud never exists.
+    h = F.relu(F.linear_bn_pre(params["conv1"], params["bn1"],
+                               trans, x, eps=_EPS))
     h = F.relu(F.linear_bn(params["conv2"], params["bn2"], h, eps=_EPS))
     ftrans = _transform_apply(params["feature_transform"], h, 64)
-    h = jnp.matmul(h, ftrans, preferred_element_type=jnp.float32)
-    h = F.relu(F.linear_bn(params["conv3"], params["bn3"], h, eps=_EPS))
+    h = F.relu(F.linear_bn_pre(params["conv3"], params["bn3"],
+                               ftrans, h, eps=_EPS))
     h = F.relu(F.linear_bn(params["conv4"], params["bn4"], h, eps=_EPS))
     h = F.relu(F.batchnorm(params["bn5"], F.conv1d(params["conv5"], h),
                            eps=_EPS))

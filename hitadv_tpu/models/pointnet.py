@@ -136,14 +136,16 @@ def apply_full(params: Dict, x: jnp.ndarray,
         xyz, extra = x[..., :3], x[..., 3:]
         xyz = jnp.matmul(xyz, trans, preferred_element_type=jnp.float32)
         h = jnp.concatenate([xyz, extra], axis=-1)
+        h = F.relu(F.linear_bn(params["conv1"], params["bn1"], h))
     else:
-        h = jnp.matmul(x, trans, preferred_element_type=jnp.float32)
-
-    h = F.relu(F.linear_bn(params["conv1"], params["bn1"], h))
+        # STN transform folded into conv1's weight (F.linear_bn_pre):
+        # the tile-padded [B, N, 3] transformed cloud never exists.
+        h = F.relu(F.linear_bn_pre(params["conv1"], params["bn1"],
+                                   trans, x))
     conv1_out = h
     trans_feat, fstn_feats = _stn_apply(params["fstn"], h, 64, want_feats)
-    h = jnp.matmul(h, trans_feat, preferred_element_type=jnp.float32)
-    h = F.relu(F.linear_bn(params["conv2"], params["bn2"], h))
+    h = F.relu(F.linear_bn_pre(params["conv2"], params["bn2"],
+                               trans_feat, h))
     conv2_out = h
     # conv3 + global max-pool, fused on TPU so the [B, N, 1024]
     # activation never exists (see F.linear_bn_max)

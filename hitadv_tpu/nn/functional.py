@@ -307,6 +307,38 @@ def linear_bn(lin: Params, bn: Params, x: jnp.ndarray,
     return linear({"w": w, "b": b}, x)
 
 
+def linear_bn_pre(lin: Params, bn: Params, pre: jnp.ndarray,
+                  x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """``bn(linear(lin, x @ pre))`` with the per-example ``[k, k]``
+    transform folded into the (BN-folded) weight:
+    ``(x @ pre) @ W + b == x @ (pre @ W) + b``.
+
+    The PointNet STN pattern (`model/pointnet_utils.py:11-60`:
+    input/feature transform matmul feeding conv1/conv2). Applied
+    standalone, ``x @ pre`` at k=3 writes a ``[B, N, 3]`` intermediate
+    whose 3-wide minor dim tile-pads 128x in HBM — profiled ~209 us/iter
+    standing alone HBM-bound in the flagship/CW programs (RESULTS.md
+    "CW-Perturb floor attribution"). Folding it into the conv weight
+    (``pre @ W``: a tiny [B, k, Cout] batched matmul) means the
+    transformed cloud never exists; the big matmul reads the original
+    ``x`` XLA already has in registers. Exact algebra — same
+    reassociation class as ``fold_bn`` itself. Training-mode BN keeps
+    the explicit composition (batch stats must see conv output of the
+    transformed input — they do either way, but the fold needs eval-mode
+    affine BN).
+    """
+    if bn_is_training():
+        h = jnp.matmul(x, pre, preferred_element_type=jnp.float32)
+        return batchnorm(bn, linear(lin, h), eps)
+    w, b = fold_bn(lin, bn, eps)
+    wb = jnp.matmul(pre, w, preferred_element_type=jnp.float32)
+    if _COMPUTE_DTYPE is not None:
+        y = jnp.matmul(_cast(x), _cast(wb),
+                       preferred_element_type=jnp.float32)
+        return y.astype(_COMPUTE_DTYPE) + _cast(b)
+    return jnp.matmul(x, wb, preferred_element_type=jnp.float32) + b
+
+
 def linear_bn_max(lin: Params, bn: Params, x: jnp.ndarray,
                   eps: float = 1e-5) -> jnp.ndarray:
     """``max_n bn(x @ W + b)[b, n, :]`` — the conv-to-wide +

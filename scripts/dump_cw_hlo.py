@@ -12,7 +12,6 @@ import sys
 _HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.dirname(_HERE))
 
-import numpy as np  # noqa: F401
 
 
 def main():

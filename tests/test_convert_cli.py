@@ -59,3 +59,54 @@ class TestConvertCLI:
 
         main(["--model", "pointnet", "--src", src,
               "--dst", str(tmp_path / "out.pkl")])
+
+    def test_convert_trained_checkpoint(self, tmp_path):
+        """Conversion fidelity on TRAINED weights (VERDICT r4 Missing
+        #3): the random-init tests leave BN running stats at their
+        (0, 1) defaults, so a transposed/mis-keyed running-stat leaf
+        would pass them. Train the reference torch PointNet for real
+        steps in train mode (running stats become non-trivial via the
+        torch EMA), save with the reference's wrapper convention
+        (`eval.py:123-124`), convert, and assert eval-mode logit
+        parity at 1e-4."""
+        import torch
+
+        if REFERENCE not in sys.path:
+            sys.path.insert(0, REFERENCE)
+        from model.pointnet_cls import get_model
+
+        torch.manual_seed(7)
+        m = get_model(40, normal_channel=False).train()
+        opt = torch.optim.SGD(m.parameters(), lr=1e-2, momentum=0.9)
+        rng = np.random.RandomState(11)
+        for _ in range(25):
+            xb = torch.from_numpy(
+                rng.randn(8, 3, 64).astype(np.float32) * 0.5)
+            yb = torch.from_numpy(rng.randint(0, 40, size=(8,)))
+            logits, trans_feat = m(xb)
+            loss = torch.nn.functional.nll_loss(logits, yb)
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+        m.eval()
+        # running stats must actually have moved off the init values
+        bn_var = m.feat.bn1.running_var.detach().numpy()
+        assert np.abs(bn_var - 1.0).max() > 1e-3
+
+        src = str(tmp_path / "PN_trained.checkpoint")
+        torch.save({"model_state_dict": m.state_dict()}, src)
+        from hitadv_tpu.convert import main
+
+        dst = str(tmp_path / "pn_trained.pkl")
+        main(["--model", "pointnet", "--src", src, "--dst", dst])
+
+        from hitadv_tpu.models import pointnet
+        from hitadv_tpu.utils import checkpoint as ckpt
+
+        params = ckpt.load_params(dst)
+        x = rng.randn(4, 128, 3).astype(np.float32) * 0.5
+        with torch.no_grad():
+            want, _ = m(torch.from_numpy(np.swapaxes(x, 1, 2).copy()))
+        got = pointnet.apply(params, jnp.array(x))
+        np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                                   atol=1e-4)
