@@ -218,7 +218,11 @@ def _make_cw_run(jax, jnp, B, N, ITERS):
     return run, pts
 
 
-def _bench_cw_iters(jax, jnp, B=64, N=1024, ITERS=100):
+def _bench_cw_iters(jax, jnp, B=64, N=1024, ITERS=300):
+    # ITERS=300 (3x the reference's per-binary-step count) so the one
+    # ~30 ms relay dispatch round-trip is <5% of the measured window —
+    # at ITERS=100 it was ~14% and swamped real per-iter changes. The
+    # metric stays a per-iteration rate of the same scanned body.
     if SMOKE:
         B, N, ITERS = 4, 64, 5
     run, pts = _make_cw_run(jax, jnp, B, N, ITERS)

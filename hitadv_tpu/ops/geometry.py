@@ -187,9 +187,12 @@ _gather_group_mxu.defvjp(_gather_group_fwd, _gather_group_bwd)
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _gather_rows_mxu(n_points, points, idx_flat):
+    import os as _os
+
+    wide = _os.environ.get("HITADV_GATHER_WIDE", "1") != "0"
     if (points.dtype in (jnp.bfloat16, jnp.float32) and _pallas_active()
             and (idx_flat.shape[1] >= 2048
-                 or (idx_flat.shape[1] >= 512
+                 or (wide and idx_flat.shape[1] >= 512
                      and points.shape[1] <= 4096))):
         # bitwise exact both ways: bf16 rides one native MXU pass (a
         # one-hot row selects a single value); f32 is decomposed into

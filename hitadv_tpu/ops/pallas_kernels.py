@@ -231,20 +231,23 @@ def _knn_packed_kernel(q_ref, p_ref, pn_ref, dist_ref, idx_ref, *,
     slot = lax.broadcasted_iota(jnp.int32, (TQ, k_pad), 1)
     maxi = jnp.int32(0x7FFFFFFF)
 
+    # monotone extraction — see _knn_packed_t_kernel (identical
+    # selection sequence, read-only pk, [TQ, 1] running-min carry)
     def body(i, carry):
-        pk, out_d, out_i = carry
-        m = jnp.min(pk, axis=1)                              # [TQ] int32
+        m_prev, out_d, out_i = carry
+        m = jnp.min(jnp.where(pk > m_prev, pk, maxi),
+                    axis=1, keepdims=True)                   # [TQ, 1]
         out_i = jnp.where(slot == i,
-                          jax.lax.bitwise_and(m, mask)[:, None], out_i)
+                          jax.lax.bitwise_and(m, mask), out_i)
         dv = jax.lax.bitcast_convert_type(
             jax.lax.bitwise_and(m, jnp.int32(~mask)), jnp.float32)
-        out_d = jnp.where(slot == i, dv[:, None], out_d)
-        pk = jnp.where(pk == m[:, None], maxi, pk)           # knockout
-        return pk, out_d, out_i
+        out_d = jnp.where(slot == i, dv, out_d)
+        return m, out_d, out_i
 
     _, out_d, out_i = lax.fori_loop(
         0, k, body,
-        (pk, jnp.zeros((TQ, k_pad), jnp.float32),
+        (jnp.full((TQ, 1), -1, jnp.int32),
+         jnp.zeros((TQ, k_pad), jnp.float32),
          jnp.zeros((TQ, k_pad), jnp.int32)))
     dist_ref[0] = out_d
     idx_ref[0] = out_i
@@ -340,19 +343,24 @@ def _knn_packed_t_kernel(p_ref, qt_ref, pn_ref, qn_ref, dist_ref,
     slot = lax.broadcasted_iota(jnp.int32, (k_pad, TQ), 0)
     maxi = jnp.int32(0x7FFFFFFF)
 
+    # MONOTONE extraction (r5): packed keys are strictly distinct (the
+    # low idx bits), so the (i+1)-th smallest == min{pk > m_i} — the
+    # knockout write-back of the full [Np, TQ] carry per neighbor is
+    # replaced by a read-only pk and a [1, TQ] running-min carry
+    # (identical selection sequence; keys non-negative, init -1).
     def body(i, carry):
-        pk, out_d, out_i = carry
-        m = _tree_min(pk)                                    # [1, TQ]
+        m_prev, out_d, out_i = carry
+        m = _tree_min(jnp.where(pk > m_prev, pk, maxi))      # [1, TQ]
         out_i = jnp.where(slot == i, lax.bitwise_and(m, mask), out_i)
         dv = lax.bitcast_convert_type(
             lax.bitwise_and(m, jnp.int32(~mask)), jnp.float32)
         out_d = jnp.where(slot == i, dv, out_d)
-        pk = jnp.where(pk == m, maxi, pk)                    # knockout
-        return pk, out_d, out_i
+        return m, out_d, out_i
 
     _, out_d, out_i = lax.fori_loop(
         0, k, body,
-        (pk, jnp.zeros((k_pad, TQ), jnp.float32),
+        (jnp.full((1, TQ), -1, jnp.int32),
+         jnp.zeros((k_pad, TQ), jnp.float32),
          jnp.zeros((k_pad, TQ), jnp.int32)))
     dist_ref[0] = out_d
     idx_ref[0] = out_i
@@ -545,15 +553,22 @@ def _ballq_kernel(q_ref, p_ref, pn_ref, idx_ref, *, nsample: int,
     key = jnp.where((d <= r2) & (col < n_valid), col, sent)
     slot = lax.broadcasted_iota(jnp.int32, (TQ, k_pad), 1)
 
+    # monotone extraction (see _knn_packed_t_kernel): keys are distinct
+    # indices, so min{key > m_prev} is the knockout sequence with a
+    # read-only key array. Exhausted balls self-stabilize: once m hits
+    # ``sent`` no key exceeds it, so every later slot also yields
+    # ``sent`` — exactly the fill the pad-with-first pass expects.
     def body(i, carry):
-        key, out = carry
-        m = jnp.min(key, axis=1)                             # [TQ]
-        out = jnp.where(slot == i, m[:, None], out)
-        key = jnp.where(key == m[:, None], sent, key)        # knockout
-        return key, out
+        m_prev, out = carry
+        m = jnp.min(jnp.where(key > m_prev, key, sent),
+                    axis=1, keepdims=True)                   # [TQ, 1]
+        out = jnp.where(slot == i, m, out)
+        return m, out
 
-    _, out = lax.fori_loop(0, nsample, body,
-                           (key, jnp.zeros((TQ, k_pad), jnp.int32)))
+    _, out = lax.fori_loop(
+        0, nsample, body,
+        (jnp.full((TQ, 1), -1, jnp.int32),
+         jnp.zeros((TQ, k_pad), jnp.int32)))
     first = out[:, 0:1]                                      # [TQ, 1]
     out = jnp.where(out == sent,
                     jnp.broadcast_to(first, (TQ, k_pad)), out)
@@ -583,15 +598,17 @@ def _ballq_t_kernel(p_ref, qt_ref, pn_ref, qn_ref, idx_ref, *,
     key = jnp.where((d <= r2) & (row < n_valid), row, sent)
     slot = lax.broadcasted_iota(jnp.int32, (k_pad, TQ), 0)
 
+    # monotone extraction — see _ballq_kernel
     def body(i, carry):
-        key, out = carry
-        m = _tree_min(key)                                   # [1, TQ]
+        m_prev, out = carry
+        m = _tree_min(jnp.where(key > m_prev, key, sent))    # [1, TQ]
         out = jnp.where(slot == i, m, out)
-        key = jnp.where(key == m, sent, key)                 # knockout
-        return key, out
+        return m, out
 
-    _, out = lax.fori_loop(0, nsample, body,
-                           (key, jnp.zeros((k_pad, TQ), jnp.int32)))
+    _, out = lax.fori_loop(
+        0, nsample, body,
+        (jnp.full((1, TQ), -1, jnp.int32),
+         jnp.zeros((k_pad, TQ), jnp.int32)))
     first = out[0:1]                                         # [1, TQ]
     out = jnp.where(out == sent, jnp.broadcast_to(first, (k_pad, TQ)),
                     out)
@@ -1384,15 +1401,16 @@ def kde_density_bwd_pallas(xyz: jnp.ndarray, bandwidth: float,
     return out[:, :N, 0:3]
 
 
-def _scatter_add_rows_kernel(idx_ref, g_ref, out_ref, *, k: int):
+def _scatter_add_rows_kernel(idx_ref, g_ref, out_ref, *, k: int,
+                             splits: int = 1):
     """out[m, c] += sum over rows n in this tile with idx[n, j] == m of
     g[n, j*Cchunk...]: the gather-VJP scatter-add as one-hot^T matmuls.
 
     idx_ref: [1, T, k_pad] int32 (k index columns per row);
-    g_ref: [1, T, C] — k MUST be 1 (callers pre-flatten the k columns
-    into rows): g carries no per-j slice, so a k > 1 instantiation
-    would scatter the SAME [T, C] tile once per index column — a
-    silently wrong gradient. The grouped sibling
+    g_ref: [1, T, splits*C] — k MUST be 1 (callers pre-flatten the k
+    columns into rows): g carries no per-j slice, so a k > 1
+    instantiation would scatter the SAME [T, C] tile once per index
+    column — a silently wrong gradient. The grouped sibling
     `_scatter_add_group_kernel` is the real k > 1 kernel.
     """
     assert k == 1, "scatter_add_rows: pre-flatten k into rows (see doc)"
@@ -1417,26 +1435,17 @@ def _scatter_add_rows_kernel(idx_ref, g_ref, out_ref, *, k: int):
     # the unsplit 1-pass), reconstructed as hi + lo after the dot.
     # Max error 2^-17 relative per contribution (measured 2.4e-5 on
     # O(2) data) — gradient-grade exact. bf16 gradients stay 1-pass.
-    f32 = g.dtype == jnp.float32
-    if f32:
-        # astype round-trip, NOT lax.reduce_precision: reduce_precision
-        # has no Pallas TPU lowering (Mosaic "Unimplemented primitive
-        # ... reduce_precision", caught by scripts/tpu_verify.py), and
-        # the XLA excess-precision elision that makes the round-trip
-        # unsafe HOST-side (_split3_bf16) does not happen in Mosaic —
-        # the round-2 hardware measurement (2.8e-5 max error, not the
-        # 2^-9 a zeroed lo plane would give) proves the convert pair
-        # survives.
-        ghi = g.astype(jnp.bfloat16)
-        glo = (g - ghi.astype(jnp.float32)).astype(jnp.bfloat16)
-        g = jnp.concatenate([ghi, glo], axis=1)              # [T, 2C]
+    # splits == 2: f32 gradients arrive PRE-SPLIT hi|lo bf16 from the
+    # wrapper (_split2_bf16 via lax.reduce_precision — elision-proof;
+    # an in-kernel astype round-trip was compiler-version fragile
+    # under --xla_allow_excess_precision, ADVICE r4).
     C = out_ref.shape[-1]
     for j in range(k):
         onehotT = (rowT == idx[:, j][None, :]).astype(g.dtype)
         acc = jax.lax.dot_general(
             onehotT, g, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        out_ref[0] += (acc[:, :C] + acc[:, C:] if f32 else acc)
+        out_ref[0] += (acc[:, :C] + acc[:, C:] if splits == 2 else acc)
 
 
 def _gather_rows_kernel(idx_ref, y_ref, out_ref, *, splits: int):
@@ -1499,7 +1508,8 @@ def _gather_group_kernel(idx_ref, y_ref, out_ref, *, k: int,
         out_ref[0, j] = out.astype(out_ref.dtype)
 
 
-def _scatter_add_group_kernel(idx_ref, g_ref, out_ref, *, k: int):
+def _scatter_add_group_kernel(idx_ref, g_ref, out_ref, *, k: int,
+                              splits: int = 1):
     """Grouped scatter-add (the grouped gather's VJP): out[m, :] +=
     sum over (t, j) in this tile with idx[t, j] == m of g[t, j, :] —
     `_gmp_bwd_kernel`'s accumulation with the cotangent read per slot
@@ -1516,21 +1526,15 @@ def _scatter_add_group_kernel(idx_ref, g_ref, out_ref, *, k: int):
     T = idx.shape[0]
     rowT = lax.broadcasted_iota(jnp.int32, (Np, T), 0)
     C = out_ref.shape[-1]
+    # splits == 2: f32 gradients arrive PRE-SPLIT hi|lo bf16 (see
+    # _scatter_add_rows_kernel / _split2_bf16)
     for j in range(k):
-        gj = g_ref[0, j]                # [T, C] (neighbors-major)
-        f32 = gj.dtype == jnp.float32
-        if f32:
-            # astype round-trip, NOT lax.reduce_precision (no Pallas
-            # TPU lowering; Mosaic does not elide the convert pair —
-            # see _scatter_add_rows_kernel)
-            ghi = gj.astype(jnp.bfloat16)
-            glo = (gj - ghi.astype(jnp.float32)).astype(jnp.bfloat16)
-            gj = jnp.concatenate([ghi, glo], axis=1)         # [T, 2C]
+        gj = g_ref[0, j]        # [T, splits*C] (neighbors-major)
         onehotT = (rowT == idx[:, j][None, :]).astype(gj.dtype)
         acc = jax.lax.dot_general(
             onehotT, gj, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        out_ref[0] += (acc[:, :C] + acc[:, C:] if f32 else acc)
+        out_ref[0] += (acc[:, :C] + acc[:, C:] if splits == 2 else acc)
 
 
 def _group_tile(tile: int, ns: int, C: int, dtype, S: int) -> int:
@@ -1618,8 +1622,16 @@ def scatter_add_group_pallas(idx: jnp.ndarray, g: jnp.ndarray,
     C=64 bf16), 512 crashes the Mosaic compile (scoped-VMEM)."""
     B, S, ns = idx.shape
     C = g.shape[-1]
-    gf = g if g.dtype == jnp.bfloat16 else g.astype(jnp.float32)
-    tile = _group_tile(tile, ns, C, gf.dtype, S)
+    # tile sizing BEFORE the split: the pre-split bf16 [.., 2C] block
+    # carries exactly the same bytes as the f32 [.., C] original
+    tile = _group_tile(
+        tile, ns, C,
+        g.dtype if g.dtype == jnp.bfloat16 else jnp.float32, S)
+    if g.dtype == jnp.bfloat16:
+        gf, splits = g, 1
+    else:
+        # f32: pre-split hi|lo bf16 host-side (elision-proof)
+        gf, splits = _split2_bf16(g.astype(jnp.float32)), 2
     pad_s = (-S) % tile
     if pad_s:
         # padded rows carry zero gradient -> contribute nothing
@@ -1633,14 +1645,16 @@ def scatter_add_group_pallas(idx: jnp.ndarray, g: jnp.ndarray,
     Np = n_points + pad_out
 
     out = pl.pallas_call(
-        functools.partial(_scatter_add_group_kernel, k=ns),
+        functools.partial(_scatter_add_group_kernel, k=ns,
+                          splits=splits),
         grid=(B, Sp // tile),
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         in_specs=[
             pl.BlockSpec((1, tile, k_pad), lambda b, t: (b, t, 0)),
-            pl.BlockSpec((1, ns, tile, C), lambda b, t: (b, 0, t, 0)),
+            pl.BlockSpec((1, ns, tile, splits * C),
+                         lambda b, t: (b, 0, t, 0)),
         ],
         out_specs=pl.BlockSpec((1, Np, C), lambda b, t: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, Np, C), jnp.float32),
@@ -1666,6 +1680,20 @@ def _split3_bf16(x: jnp.ndarray) -> jnp.ndarray:
     lo = r1 - mid
     return jnp.concatenate([hi.astype(jnp.bfloat16),
                             mid.astype(jnp.bfloat16),
+                            lo.astype(jnp.bfloat16)], axis=-1)
+
+
+def _split2_bf16(x: jnp.ndarray) -> jnp.ndarray:
+    """2-plane bf16 decomposition of f32 gradients, packed on the last
+    dim: hi = bf16(x); lo = bf16(x - hi). Same lax.reduce_precision
+    recipe as `_split3_bf16` (elision-proof under
+    --xla_allow_excess_precision, unlike an astype round-trip). Max
+    error 2^-17 relative per contribution — the scatter-add gradient
+    contract (2.8e-5 measured on hardware), vs the 3-plane split's
+    bitwise exactness that gathers require."""
+    hi = lax.reduce_precision(x, 8, 7)
+    lo = x - hi
+    return jnp.concatenate([hi.astype(jnp.bfloat16),
                             lo.astype(jnp.bfloat16)], axis=-1)
 
 
@@ -1724,7 +1752,12 @@ def scatter_add_rows_pallas(idx: jnp.ndarray, g: jnp.ndarray,
     """
     B, M = idx.shape
     C = g.shape[-1]
-    gf = g if g.dtype == jnp.bfloat16 else g.astype(jnp.float32)
+    if g.dtype == jnp.bfloat16:
+        gf, splits = g, 1
+    else:
+        # f32: pre-split hi|lo bf16 host-side (elision-proof; same
+        # HBM bytes as the f32 original)
+        gf, splits = _split2_bf16(g.astype(jnp.float32)), 2
     pad_m = (-M) % tile
     if pad_m:
         gf = jnp.pad(gf, ((0, 0), (0, pad_m), (0, 0)))
@@ -1739,14 +1772,14 @@ def scatter_add_rows_pallas(idx: jnp.ndarray, g: jnp.ndarray,
     Np = n_points + pad_out
     grid = (B, Mp // tile)
     out = pl.pallas_call(
-        functools.partial(_scatter_add_rows_kernel, k=1),
+        functools.partial(_scatter_add_rows_kernel, k=1, splits=splits),
         grid=grid,
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         in_specs=[
             pl.BlockSpec((1, tile, 1), lambda b, t: (b, t, 0)),
-            pl.BlockSpec((1, tile, C), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, tile, splits * C), lambda b, t: (b, t, 0)),
         ],
         out_specs=pl.BlockSpec((1, Np, C), lambda b, t: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, Np, C), jnp.float32),

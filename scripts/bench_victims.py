@@ -45,14 +45,18 @@ def main():
         params = init(jax.random.PRNGKey(0))
         logits_fn = lambda x: apply(params, x)  # noqa: E731
         attack = hit_adv.make_hit_adv(logits_fn, adv_fn, cfg)
-        res = attack(pts_j, labels_j, jax.random.PRNGKey(0))
-        np.asarray(res.adv_points)                        # compile+run
-        t0 = time.perf_counter()
-        res = attack(pts_j, labels_j, jax.random.PRNGKey(1))
-        np.asarray(res.adv_points)
-        dt = time.perf_counter() - t0
+        jax.block_until_ready(
+            attack(pts_j, labels_j, jax.random.PRNGKey(0)))  # compile
+        dts = []
+        for r in range(3):   # median of 3, no data pull (bench.py r5)
+            t0 = time.perf_counter()
+            jax.block_until_ready(
+                attack(pts_j, labels_j, jax.random.PRNGKey(1 + r)))
+            dts.append(time.perf_counter() - t0)
+        dt = sorted(dts)[1]
         print(f"{name:12s} {iters/dt:7.1f} attack iters/s "
-              f"({dt*1e3/iters:6.2f} ms/iter at B={B})", flush=True)
+              f"({dt*1e3/iters:6.2f} ms/iter at B={B}; reps "
+              f"{[round(d, 3) for d in dts]})", flush=True)
 
 
 if __name__ == "__main__":

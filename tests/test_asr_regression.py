@@ -75,3 +75,37 @@ class TestUnsaturatedASR:
         assert abs(asr - EXPECTED_ASR) <= BAND, (
             f"ASR {asr} left the pinned band "
             f"{EXPECTED_ASR}±{BAND} — attack semantics changed")
+
+
+class TestTrajectoryFingerprint:
+    def test_hit_adv_deterministic_fingerprint(self, trained_victim):
+        """Deterministic trajectory-checksum companion to the ASR band
+        (VERDICT r4 Weak #4 / Next #6): one seeded HiT-ADV program on
+        the pinned committed victim, fingerprinted by final perturbation
+        statistics and exact best-adv predictions. The ASR band needs a
+        ~10% semantic drift to trip; this trips on ANY change to the
+        attack's math (loss shapes, Adam coupling, binary-search
+        bookkeeping, deformation algebra) beyond reassociation-level
+        float noise. Intentional numerics changes (e.g. an
+        algebra-equivalent fusion) must re-pin these values CONSCIOUSLY
+        — that friction is the point. Pinned on the suite's 8-device
+        CPU mesh (single-device jit program; value measured identical
+        on 1 and 8 devices, same as the ASR band)."""
+        cfg = hit_adv.HiTADVConfig(binary_step=2, num_iter=10,
+                                   central_num=16, total_central_num=24,
+                                   curv_loss_knn=8, budget=0.2)
+        attack = hit_adv.make_hit_adv(
+            trained_victim,
+            base.make_adv_fn("logits", kappa=30.0, targeted=False), cfg)
+        pts, labels = synthetic_clouds(8, 64, num_classes=10, seed=123)
+        res = attack(jnp.asarray(pts), jnp.asarray(labels),
+                     jax.random.PRNGKey(9))
+        adv = np.asarray(res.adv_points)
+        x = pts[..., :3]
+        mean_l2 = float(np.sqrt(((adv - x) ** 2).sum(-1)).mean())
+        max_dev = float(np.abs(adv - x).max())
+        pred = np.asarray(res.pred).tolist()
+
+        np.testing.assert_allclose(mean_l2, 0.21892890, rtol=2e-3)
+        np.testing.assert_allclose(max_dev, 0.19994435, rtol=2e-3)
+        assert pred == [1, 1, 5, 9, 7, 6, 5, 9], pred
