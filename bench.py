@@ -171,6 +171,43 @@ def _bench_hit_adv(jax, jnp, victim="pointnet", B=64, N=1024, bf16=True,
     return out
 
 
+def _bench_canary(jax, jnp):
+    """Chip-health canary: achieved bf16 matmul TFLOP/s on a pure-MXU
+    program (scanned [n, n] @ [n, n] chain, carry-consuming, scalar
+    return). Decouples environmental drift from code changes: r4's
+    flagship ran at 1.26 s on Aug 19 and the IDENTICAL code measured
+    1.44 s on Aug 20 (.r5/bench_check2.log) — without a canary in the
+    record, that 14% server-side swing reads as a code regression.
+    """
+    from jax import lax
+
+    n, iters = (256, 4) if SMOKE else (4096, 32)
+    key = jax.random.PRNGKey(0)
+    a = jax.random.normal(key, (n, n), jnp.bfloat16)
+    # spectral-normalized so the scanned chain neither overflows nor
+    # denormals: top singular value of G/sqrt(n) ~ 2, halved ~ 1
+    b = (jax.random.normal(jax.random.PRNGKey(1), (n, n), jnp.float32)
+         * (0.5 / np.sqrt(n))).astype(jnp.bfloat16)
+
+    @jax.jit
+    def run(a, b):
+        def body(c, _):
+            return jnp.matmul(c, b,
+                              preferred_element_type=jnp.float32
+                              ).astype(jnp.bfloat16), ()
+        c, _ = lax.scan(body, a, None, length=iters)
+        return jnp.sum(c.astype(jnp.float32))
+
+    jax.block_until_ready(run(a, b))
+    dts = []
+    for _ in range(1 if SMOKE else 3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(a, b))
+        dts.append(time.perf_counter() - t0)
+    dt = sorted(dts)[len(dts) // 2]
+    return (iters * 2 * n ** 3 / dt) / 1e12
+
+
 def _make_cw_run(jax, jnp, B, N, ITERS):
     """Build the jitted CW-Perturb hot loop (`CW/Perturb.py:95-173`).
 
@@ -251,6 +288,7 @@ def main() -> None:
 
     enable_compile_cache()
 
+    canary = _bench_canary(jax, jnp)
     hit = _bench_hit_adv(jax, jnp, want_flops=True)
     dgc = _bench_hit_adv(jax, jnp, victim="dgcnn", B=16,
                          want_flops=True)
@@ -301,6 +339,10 @@ def main() -> None:
         "dgcnn_batch": dgc["batch"],
         "batch": hit["batch"], "points": hit["points"],
         "b_scaling_examples_per_sec": b_scaling,
+        # pure-MXU chip-health canary (bf16 nameplate 197): read the
+        # flagship number RELATIVE to this — the tunnel/TPU backend
+        # drifts >10% day to day (see _bench_canary)
+        "canary_matmul_tflops": round(canary, 1),
     }
     if baseline_kind:
         extra["baseline_kind"] = baseline_kind

@@ -92,7 +92,12 @@ def edge_conv_fused(p_conv: Dict, p_bn: Dict, h: jnp.ndarray,
     hs = lax.stop_gradient(h)        # idx-only consumer (see above)
     idx = G.knn_idx(hs, hs, k)                                # [B, N, k]
     y = F.linear({"w": Wd * a[None]}, h)                      # [B, N, C']
-    z = F.linear({"w": (Wc - Wd) * a[None]}, h) + b
+    # bias INSIDE the linear so it follows the compute dtype: a bare
+    # `+ b` (f32) upcast mx+z — and therefore every later layer's h —
+    # to f32, which knocked the feature kNNs off the packed-bf16 gate
+    # onto the exact kernel (profiled 1083 vs ~560 us/iter each,
+    # .r5/profile_dgcnn_r5.log)
+    z = F.linear({"w": (Wc - Wd) * a[None], "b": b}, h)
     mx = G.graph_max_pool(y, idx)                             # [B, N, C']
     return F.leaky_relu(mx + z)
 

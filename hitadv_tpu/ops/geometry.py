@@ -802,7 +802,6 @@ def gaussian_blend(central: jnp.ndarray, ori: jnp.ndarray,
     if negd is None:
         negd = neg_gaussian_field(central, ori)               # [B, Cn, N]
     ker = jnp.exp(negd / (2.0 * delta * delta)[..., None])
-    deno = jnp.sum(ker, axis=1)                               # [B, N]
     # HIGHEST, not DEFAULT: on TPU the MXU's DEFAULT rounds the f32
     # pert/ker operands to bf16 (~2^-9 relative) while deno stays an
     # exact f32 sum, so num/deno would stop being a consistent convex
@@ -810,10 +809,19 @@ def gaussian_blend(central: jnp.ndarray, ori: jnp.ndarray,
     # distance above was chosen to avoid. The contraction is tiny
     # (B*N*3*Cn ~ 75 MFLOP at the flagship shape) next to the 0.6 ms
     # exp field, so the 6-pass cost is noise.
-    num = jnp.einsum("bjc,bjn->bnc", pert, ker,
-                     precision=lax.Precision.HIGHEST,
-                     preferred_element_type=jnp.float32)      # [B, N, 3]
-    return num, deno
+    # deno rides the SAME contraction as num via a ones column (r5,
+    # .r5/profile_flagship_r5.log: the separate jnp.sum pass over the
+    # [B, Cn, N] ker field was 19.6% of the flagship iteration with
+    # its fwd+bwd re-reads; one einsum = one pass over ker each way).
+    # deno's accumulation order changes from a plain f32 sum to the
+    # HIGHEST dot's plane-decomposed sum — reassociation-level drift,
+    # same class as linear_bn's fold.
+    pert1 = jnp.concatenate(
+        [pert, jnp.ones_like(pert[..., :1])], axis=-1)        # [B,Cn,4]
+    nd = jnp.einsum("bjc,bjn->bnc", pert1, ker,
+                    precision=lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)       # [B, N, 4]
+    return nd[..., :3], nd[..., 3]
 
 
 _gaussian_blend_xla = gaussian_blend                          # oracle alias
