@@ -144,7 +144,7 @@ def _bench_hit_adv(jax, jnp, victim="pointnet", B=64, N=1024, bf16=True,
     # with block_until_ready (a ready-event RPC, no data transfer);
     # the output is pulled once, outside the timed region.
     res = attack(pts, labels, jax.random.PRNGKey(0))   # compile + warm
-    jax.block_until_ready(res)
+    float(jnp.sum(res.adv_points.astype(jnp.float32)))  # honest sync
     reps = 1 if SMOKE else 3
     dts = []
     for r in range(reps):
@@ -152,13 +152,28 @@ def _bench_hit_adv(jax, jnp, victim="pointnet", B=64, N=1024, bf16=True,
         res = attack(pts, labels, jax.random.PRNGKey(1 + r))
         jax.block_until_ready(res)
         dts.append(time.perf_counter() - t0)
-    np.asarray(res.adv_points)
     dt = sorted(dts)[len(dts) // 2]
+    # block_until_ready can fire before execution through the relay
+    # (see _bench_canary — three canary builds were faked by it). One
+    # more rep synced by fetching a scalar RESULT (unfakeable: the
+    # bytes must exist to cross the tunnel) cross-checks the median;
+    # if the bur-timed reps lied, this rep also drains their backlog,
+    # so it reads >> dt and we adopt it (over-stating time — the
+    # headline can only ever be under-claimed, never fake-fast).
+    t0 = time.perf_counter()
+    res = attack(pts, labels, jax.random.PRNGKey(99))
+    float(jnp.sum(res.adv_points.astype(jnp.float32)))
+    fetch_dt = time.perf_counter() - t0
+    sync_ok = fetch_dt <= 1.25 * dt
+    if not sync_ok:
+        dt = fetch_dt
     iters = cfg.binary_step * cfg.num_iter
     out = {
         "examples_per_sec": B / dt,
         "attack_seconds": dt,
         "attack_seconds_reps": [round(d, 3) for d in dts],
+        "attack_seconds_fetchsync": round(fetch_dt, 3),
+        "sync_ok": sync_ok,
         "iters_per_sec": iters / dt,
         "batch": B,
         "points": N,
@@ -181,31 +196,46 @@ def _bench_canary(jax, jnp):
     """
     from jax import lax
 
-    n, iters = (256, 4) if SMOKE else (4096, 32)
+    n, iters = (256, 4) if SMOKE else (4096, 512)
     key = jax.random.PRNGKey(0)
     a = jax.random.normal(key, (n, n), jnp.bfloat16)
-    # spectral-normalized so the scanned chain neither overflows nor
-    # denormals: top singular value of G/sqrt(n) ~ 2, halved ~ 1
     b = (jax.random.normal(jax.random.PRNGKey(1), (n, n), jnp.float32)
          * (0.5 / np.sqrt(n))).astype(jnp.bfloat16)
 
     @jax.jit
-    def run(a, b):
+    def run(c, b):
         def body(c, _):
-            return jnp.matmul(c, b,
-                              preferred_element_type=jnp.float32
-                              ).astype(jnp.bfloat16), ()
-        c, _ = lax.scan(body, a, None, length=iters)
-        return jnp.sum(c.astype(jnp.float32))
+            c = jnp.matmul(c, b, preferred_element_type=jnp.float32)
+            # renormalize the carry each step: the raw chain's typical
+            # singular values < 1 underflow bf16 to EXACT ZERO within
+            # ~32 steps (probe: sum=0.0) — timing on all-zero data.
+            # One n^2 rsqrt-scale per 2n^3-FLOP matmul is free.
+            c = c * lax.rsqrt(jnp.mean(c * c) + 1e-30)
+            return c.astype(jnp.bfloat16), ()
+        c, _ = lax.scan(body, c, None, length=iters)
+        return c
 
-    jax.block_until_ready(run(a, b))
-    dts = []
-    for _ in range(1 if SMOKE else 3):
-        t0 = time.perf_counter()
-        jax.block_until_ready(run(a, b))
-        dts.append(time.perf_counter() - t0)
-    dt = sorted(dts)[len(dts) // 2]
-    return (iters * 2 * n ** 3 / dt) / 1e12
+    # Timing shape (round-5 fix, .r5/probe_canary_sync.log): through
+    # the axon relay, block_until_ready LIES — the ready event can
+    # fire BEFORE execution. Three canary builds timed with it read
+    # 45137 / 103097 / 646064 "TF/s" (nameplate: 197); the standalone
+    # probe saw the same per-call sync behave honestly at ~394 ms of
+    # compute, so honesty is queue-state-dependent, not size-
+    # guaranteed. The only unfakeable sync is fetching a RESULT: data
+    # bytes cannot cross the tunnel before they exist. Chain the
+    # carry across reps (data dependency forces sequential execution
+    # on device) and end the timed region with one scalar fetch of
+    # the final carry; the single ~30 ms RTT is <3% of the window.
+    reps = 2 if SMOKE else 3
+    c = run(a, b)                                  # compile + warmup
+    float(jnp.sum(c.astype(jnp.float32)))          # honest warmup sync
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        c = run(c, b)
+    s = float(jnp.sum(c.astype(jnp.float32)))      # forces the chain
+    dt = time.perf_counter() - t0
+    assert np.isfinite(s), "canary chain produced non-finite data"
+    return (reps * iters * 2 * n ** 3 / dt) / 1e12
 
 
 def _make_cw_run(jax, jnp, B, N, ITERS):
@@ -264,13 +294,23 @@ def _bench_cw_iters(jax, jnp, B=64, N=1024, ITERS=300):
         B, N, ITERS = 4, 64, 5
     run, pts = _make_cw_run(jax, jnp, B, N, ITERS)
 
-    jax.block_until_ready(run(pts))            # compile + warm
+    adv = run(pts)                              # compile + warm
+    float(jnp.sum(adv.astype(jnp.float32)))     # honest sync
     dts = []
     for _ in range(1 if SMOKE else 3):
         t0 = time.perf_counter()
         jax.block_until_ready(run(pts))
         dts.append(time.perf_counter() - t0)
-    return ITERS / sorted(dts)[len(dts) // 2]
+    dt = sorted(dts)[len(dts) // 2]
+    # scalar-fetch cross-check rep (see _bench_hit_adv): adopt it if
+    # the block_until_ready-timed median was faked by the relay.
+    t0 = time.perf_counter()
+    adv = run(pts)
+    float(jnp.sum(adv.astype(jnp.float32)))
+    fetch_dt = time.perf_counter() - t0
+    if fetch_dt > 1.25 * dt:
+        dt = fetch_dt
+    return ITERS / dt
 
 
 def main() -> None:
@@ -285,9 +325,23 @@ def main() -> None:
         jax.config.update("jax_platforms", want)
 
     from hitadv_tpu.utils import enable_compile_cache
+    from hitadv_tpu.nn import functional as _nnF
 
     enable_compile_cache()
 
+    # _bench_hit_adv sets the production bf16 compute dtype and must
+    # leave it set while timing; restore the caller's dtype on the way
+    # out so an in-process invocation (tests) doesn't leak bf16 into
+    # everything that runs after (round-5 post-mortem: 20 torch-parity
+    # tests failed at 2.6e-3 from exactly this).
+    prev_dtype = _nnF.get_compute_dtype()
+    try:
+        _run_benches(jax, jnp)
+    finally:
+        _nnF.set_compute_dtype(prev_dtype)
+
+
+def _run_benches(jax, jnp) -> None:
     canary = _bench_canary(jax, jnp)
     hit = _bench_hit_adv(jax, jnp, want_flops=True)
     dgc = _bench_hit_adv(jax, jnp, victim="dgcnn", B=16,
@@ -332,6 +386,8 @@ def main() -> None:
     extra = {
         "hitadv_attack_seconds": round(hit["attack_seconds"], 2),
         "hitadv_attack_seconds_reps": hit["attack_seconds_reps"],
+        "hitadv_attack_seconds_fetchsync": hit["attack_seconds_fetchsync"],
+        "hitadv_sync_ok": hit["sync_ok"],
         "hitadv_iters_per_sec": round(hit["iters_per_sec"], 1),
         "cw_perturb_iters_per_sec": round(cw_iters, 1),
         "dgcnn_examples_per_sec": round(dgc["examples_per_sec"], 3),
@@ -365,14 +421,19 @@ def main() -> None:
     # movement-bound program (the numerator excludes the one-hot
     # matmuls and the FLOP-free kNN selection loop that ARE the
     # program). dgcnn_floor_frac is measured-ms-per-iter relative to
-    # the formulation floor measured in the round-4 attribution
-    # (RESULTS.md "DGCNN floor attribution"): 4 x 0.91 ms standalone
-    # kNN + 4.66 ms graph-max-pool fwd+bwd at shape speed-of-light
-    # (C'=256 slot dots hit ~97% of bf16 nameplate) + 0.27 ms convs
-    # = 8.57 ms/iter at this exact config (B=16, N=1024, k=20, bf16).
+    # the formulation floor re-attributed in round 5 AFTER the
+    # bias-dtype fix moved the 4 feature kNNs onto the packed-bf16
+    # one-pass-DEFAULT kernels (.r5/profile_dgcnn_postbias.log):
+    # 1.58 ms kNN (4 kernels, selection-bound, in-program — grid
+    # pipelining overlaps them below their 0.578 ms standalone time,
+    # so a sum-of-standalone floor overshoots) + 4.70 ms graph-max-
+    # pool fwd+bwd at shape speed-of-light (C'=256 slot dots ~97% of
+    # bf16 nameplate) + 0.26 ms convs = 6.54 ms/iter at this exact
+    # config (B=16, N=1024, k=20, bf16). Round-4's 8.57 ms constant
+    # predates the kNN dtype fix.
     if dgc["batch"] == 16 and dgc["points"] == 1024:
         dgcnn_ms_per_iter = 1e3 / dgc["iters_per_sec"]
-        extra["dgcnn_floor_frac"] = round(8.57 / dgcnn_ms_per_iter, 3)
+        extra["dgcnn_floor_frac"] = round(6.54 / dgcnn_ms_per_iter, 3)
 
     print(json.dumps({
         "metric": "hitadv_attack_examples_per_sec_B64_N1024_pointnet",
