@@ -205,10 +205,14 @@ def _gather_rows_mxu(n_points, points, idx_flat):
         # for mid-size M. The CW-Perturb chamfer backward's
         # [64,1024]-row f32 gather from a [64,1024,3] cloud was 580
         # us/iter as an XLA gather vs ~0.1 ms one-hot (r4 profile,
-        # RESULTS.md "CW-Perturb floor attribution"). The N<=4096
-        # crossover is extrapolated from ONE measured shape
-        # (M=1024/N=1024, kernel ~6x cheaper); boundary shapes
-        # (M~512, N~4096) may be near-neutral.
+        # RESULTS.md "CW-Perturb floor attribution"). Crossover
+        # spot-checked on hardware at the admitted boundary (r5,
+        # scripts/gather_gate_boundary_probe.py,
+        # .r5/gather_gate_boundary2.log, f32 C=3 B=64): kernel wins
+        # at M=512/N=4096 (635 vs 849 us) and M=512/N=1024 (286 vs
+        # 314); XLA wins just outside the gate at N=8192 (1235 vs
+        # 523) — the N<=4096 cutoff stands as measured, not
+        # extrapolated.
         from hitadv_tpu.ops import pallas_kernels as PK
 
         return PK.gather_rows_pallas(points, idx_flat)
