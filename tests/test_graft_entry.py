@@ -73,6 +73,12 @@ def test_bench_json_contract_smoke():
         assert key in rec, rec
     assert rec["value"] > 0
     assert "dgcnn_examples_per_sec" in rec["extra"]
+    # the scalar-fetch sync cross-check must be in every record (the
+    # relay's block_until_ready can fire before execution — bench.py
+    # _bench_canary saga): a missing sync_ok would mean a future edit
+    # silently dropped the only guard against fake-fast timings.
+    assert rec["extra"]["hitadv_sync_ok"] in (True, False)
+    assert rec["extra"]["hitadv_attack_seconds_fetchsync"] > 0
 
 
 def test_bench_mfu_failure_is_loud():
