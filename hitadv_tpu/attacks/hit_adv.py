@@ -71,7 +71,7 @@ def _global_minmax_norm(x: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
     return (x - lo) / (hi - lo + eps)
 
 
-def _deform(ori, central, pert, delta, negd=None):
+def _deform(ori, central, pert, delta, negd=None, negdt=None):
     """tmp_adv = Σ_j (ori + pert_j)·ker_j / Σ_j ker_j — the
     kernel_density (:298-304, euclidean-norm exponent) + blend loop
     (:170-175) pair via `G.gaussian_blend`. Deliberately the plain
@@ -84,8 +84,18 @@ def _deform(ori, central, pert, delta, negd=None):
     ``negd`` is the precomputed loop-invariant distance field
     (`G.neg_gaussian_field`): ori/central never change inside the
     attack, so the scan body only pays the exp, not the [B,Cn,N,3]
-    diff/sqrt (bitwise-identical — see neg_gaussian_field)."""
-    num, deno = G.gaussian_blend(central, ori, delta, pert, negd=negd)
+    diff/sqrt (bitwise-identical — see neg_gaussian_field).
+
+    ``negdt`` (the same field pre-transposed [B, N, Cn]) routes the
+    blend through the Pallas pair `G.gaussian_blend_negdt` instead —
+    an explicit opt-in (`G.blend_negdt_active`): it was built against
+    the B=256 program-level fusion regression and measured SLOWER on
+    hardware (RESULTS.md round 5; .r5/blend_negdt_probe.log)."""
+    if negdt is not None:
+        num, deno = G.gaussian_blend_negdt(negdt, delta, pert)
+    else:
+        num, deno = G.gaussian_blend(central, ori, delta, pert,
+                                     negd=negd)
     return ori + num / (deno[..., None])
 
 
@@ -184,6 +194,13 @@ def make_inner_iter(logits_fn: Callable, adv_fn: Callable,
     # i.e. outside the scan body the returned closure becomes (XLA's
     # LICM does not hoist it; profiled per-iter sqrt on v5e).
     negd = G.neg_gaussian_field(central_points, ori)
+    # Explicit opt-in only (HITADV_BLEND_IMPL=pallas): the kernel
+    # blend lost to the stock program on hardware — see
+    # `G.blend_negdt_active`. The pre-transpose is one-time prep.
+    negdt = (jnp.swapaxes(negd, 1, 2)
+             if G.blend_negdt_active(ori.shape[0]) else None)
+    if negdt is not None:
+        negd = None
 
     def inner_iter(carry, _):
         (pert, delta, opt_p, opt_d, weight, best, o_best, _last) = carry
@@ -195,7 +212,7 @@ def make_inner_iter(logits_fn: Callable, adv_fn: Callable,
         def loss_fn(pert, delta):
             with jax.named_scope("ha_deform"):
                 tmp_adv = _deform(ori, central_points, pert, delta,
-                                  negd=negd)
+                                  negd=negd, negdt=negdt)
             with jax.named_scope("ha_victim"):
                 logits = logits_fn(tmp_adv)
             adv_loss = jnp.mean(adv_fn(logits, labels))

@@ -29,6 +29,7 @@ friendly.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -805,6 +806,12 @@ def gaussian_blend(central: jnp.ndarray, ori: jnp.ndarray,
     """
     if negd is None:
         negd = neg_gaussian_field(central, ori)               # [B, Cn, N]
+    return _blend_from_negd(negd, delta, pert)
+
+
+def _blend_from_negd(negd: jnp.ndarray, delta: jnp.ndarray,
+                     pert: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The exp + einsum tail of `gaussian_blend` (negd is [B, Cn, N])."""
     ker = jnp.exp(negd / (2.0 * delta * delta)[..., None])
     # HIGHEST, not DEFAULT: on TPU the MXU's DEFAULT rounds the f32
     # pert/ker operands to bf16 (~2^-9 relative) while deno stays an
@@ -829,6 +836,119 @@ def gaussian_blend(central: jnp.ndarray, ori: jnp.ndarray,
 
 
 _gaussian_blend_xla = gaussian_blend                          # oracle alias
+
+
+# -- blend-from-hoisted-field kernel policy ---------------------------------
+#
+# The HiT-ADV scan precomputes the loop-invariant distance field once
+# (attacks/hit_adv.py:186) and only pays exp + two small contractions
+# per iteration. The Pallas pair below was built to pin that region's
+# schedule against the B=256 program-level fusion regression (RESULTS.md
+# "Batch scaling") — and REJECTED with numbers on v5e; see
+# `blend_negdt_active` for the measurement. It stays available behind
+# ``set_blend_impl("pallas")`` / env HITADV_BLEND_IMPL.
+
+_BLEND_IMPL = "auto"
+
+
+def set_blend_impl(mode: str) -> None:
+    """Select the HiT-ADV blend lowering for the hoisted-field path:
+    ``"xla"`` (stock program), ``"pallas"`` (the kernel pair),
+    ``"auto"`` (currently identical to ``"xla"`` — the kernel pair
+    measured slower at every batch, see `blend_negdt_active`)."""
+    global _BLEND_IMPL
+    if mode not in ("auto", "xla", "pallas"):
+        raise ValueError(f"blend impl must be auto|xla|pallas, got {mode!r}")
+    _BLEND_IMPL = mode
+
+
+def blend_negdt_active(batch: int) -> bool:
+    """True when the HiT-ADV scan should feed the hoisted field to the
+    Pallas blend pair instead of the stock XLA program.
+
+    REJECTED as a default on v5e (round 5, .r5/blend_negdt_probe.log):
+    the schedule-pinning hypothesis for the B=256 in-program blend
+    fusion regression did not survive hardware — the kernel pair's
+    recompute-backward pays the exp field twice where XLA's autodiff
+    reads the saved ker residual (standalone fwd+bwd(p,d) at B=256:
+    4.72 ms vs XLA 1.37; full attack 23.6 vs 43.3 ex/s). ``auto``
+    therefore never takes it; ``"pallas"`` remains for explicit use
+    and as the hardware-verified oracle of the variant.
+    """
+    del batch
+    if _BLEND_IMPL != "pallas":
+        return False
+    return _BACKEND != "xla"
+
+
+# typo'd HITADV_BLEND_IMPL must fail loudly, not silently measure the
+# default (same contract as HITADV_EXTRACT_LAYOUT).
+set_blend_impl(os.environ.get("HITADV_BLEND_IMPL", "auto"))
+
+
+def _gaussian_blend_negdt_xla(negdt, delta, pert):
+    """Oracle for `gaussian_blend_negdt`: bitwise the stock
+    `gaussian_blend(negd=...)` program (IEEE-identical exp input per
+    element; same einsum contraction)."""
+    return _blend_from_negd(jnp.swapaxes(negdt, 1, 2), delta, pert)
+
+
+@jax.custom_vjp
+def gaussian_blend_negdt(negdt: jnp.ndarray, delta: jnp.ndarray,
+                         pert: jnp.ndarray
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """`gaussian_blend` from the PRE-TRANSPOSED hoisted field
+    ``negdt = swapaxes(neg_gaussian_field(central, ori), 1, 2)``
+    ([B, N, Cn] — cloud points ride sublanes in the kernel, the same
+    orientation `_gblend_fwd_kernel` uses).
+
+    On TPU this runs as a Pallas pair whose fusion/layout schedule is
+    independent of the surrounding program — built against the B=256
+    blend-region fusion regression (RESULTS.md "Batch scaling") and
+    REJECTED as a default on hardware (see `blend_negdt_active`): the
+    recompute-backward pays the exp field twice where XLA reads the
+    saved ker residual. Kept behind ``set_blend_impl("pallas")``.
+    Backward recomputes ker from negdt (one exp) and pushes cotangents
+    to (delta, pert); the negdt cotangent is a plain XLA expression
+    that DCEs away inside the attack (negdt is loop-invariant there).
+    Off-TPU: the stock XLA program.
+    """
+    if _pallas_active():
+        from hitadv_tpu.ops import pallas_kernels as PK
+
+        return PK.gaussian_blend_negdt_pallas(negdt, delta, pert)
+    return _gaussian_blend_negdt_xla(negdt, delta, pert)
+
+
+def _gaussian_blend_negdt_fwd(negdt, delta, pert):
+    return (gaussian_blend_negdt(negdt, delta, pert),
+            (negdt, delta, pert))
+
+
+def _gaussian_blend_negdt_bwd(res, g):
+    negdt, delta, pert = res
+    g_num, g_deno = g
+    if _pallas_active():
+        from hitadv_tpu.ops import pallas_kernels as PK
+
+        g_delta, g_pert = PK.gaussian_blend_negdt_bwd_pallas(
+            negdt, delta, pert, g_num, g_deno)
+        # General-case negdt cotangent (NOT taken inside the attack,
+        # where negdt is a scan invariant — jaxpr/XLA DCE drops it).
+        inv2d2 = (1.0 / (2.0 * delta * delta))[:, None, :]    # [B,1,Cn]
+        ker = jnp.exp(negdt * inv2d2)
+        gker = jnp.einsum("bnc,bjc->bnj", g_num, pert,
+                          precision=lax.Precision.HIGHEST,
+                          preferred_element_type=jnp.float32) \
+            + g_deno[..., None]
+        g_negdt = gker * ker * inv2d2
+        return g_negdt, g_delta, g_pert
+    _, vjp = jax.vjp(_gaussian_blend_negdt_xla, negdt, delta, pert)
+    return vjp((g_num, g_deno))
+
+
+gaussian_blend_negdt.defvjp(_gaussian_blend_negdt_fwd,
+                            _gaussian_blend_negdt_bwd)
 
 
 @jax.custom_vjp

@@ -1259,6 +1259,205 @@ def gaussian_blend_bwd_pallas(central: jnp.ndarray, ori: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Gaussian-kernel blend from the hoisted distance field (HiT-ADV scan)
+# ---------------------------------------------------------------------------
+#
+# In the HiT-ADV inner loop ori/central are fixed and the [B, Cn, N]
+# distance field is precomputed once (`G.neg_gaussian_field`, hoisted in
+# attacks/hit_adv.py:186). These kernels consume that field directly
+# (pre-transposed [B, N, Cn] so the cloud dim rides sublanes exactly
+# like `_gblend_fwd_kernel`) and only pay the per-iteration math:
+# exp(negd / (2 delta^2)) plus the two tiny contractions. Unlike the
+# XLA path, the fusion/layout schedule is pinned by the kernel — the
+# motivation was the measured B=256 program-level fusion regression
+# (RESULTS.md "Batch scaling": the blend exp/einsum region runs 284 us
+# per 64 examples at B=256 vs 84 at B=64 inside the big program, while
+# a standalone blend probe scales BETTER at B=256 — XLA's choice, not
+# the op). The backward recomputes the ker tile from negd (one exp)
+# instead of saving the [B, Cn, N] residual pair.
+#
+# OUTCOME (v5e, .r5/blend_negdt_probe.log): hardware-correct but
+# REJECTED as a default — the bwd exp recompute is exactly what makes
+# it lose to XLA's saved-residual autodiff (standalone fwd+bwd(p,d)
+# B=256: 4.72 ms vs 1.37; full attack 23.6 vs 43.3 ex/s). Dispatch is
+# opt-in via geometry.set_blend_impl("pallas").
+
+
+def _gblend_negdt_fwd_kernel(negdt_ref, pd_ref, out_ref, *,
+                             cn_valid: int):
+    """One (batch, N-tile) program, tiles oriented [TN, Cnp].
+
+    negdt_ref: [1, TN, Cnp] hoisted -|ori_n - central_j| field
+    (transposed host-side, one-time); pd_ref: [1, Cnp, 8] packed
+    (px, py, pz, 1, delta, 0, 0, 0); out_ref: [1, TN, 4] columns
+    (num_x, num_y, num_z, deno). Padded centers carry delta=1 and
+    negd=0 (ker would be 1) and are masked to 0 so deno stays exact.
+    """
+    negdt = negdt_ref[0]                                     # [TN, Cnp]
+    pd = pd_ref[0]                                           # [Cnp, 8]
+    Cnp = pd.shape[0]
+    delta = pd[:, 4][None, :]                                # [1, Cnp]
+    ker = jnp.exp(negdt / (2.0 * delta * delta))             # [TN, Cnp]
+    if cn_valid < Cnp:
+        col = lax.broadcasted_iota(jnp.int32, ker.shape, 1)
+        ker = jnp.where(col < cn_valid, ker, 0.0)
+    out_ref[0] = jax.lax.dot_general(
+        ker, pd[:, 0:4], (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)                  # [TN, 4]
+
+
+def _gblend_negdt_bwd_kernel(negdt_ref, pd_ref, pertt_ref, gn4_ref,
+                             gpd_ref, *, cn_valid: int):
+    """Backward from the hoisted field: recompute the ker tile, push
+    cotangents to (pert, delta) only — negd/ori/central are constants
+    inside the attack scan (the XLA-side g_negdt expression in
+    `geometry._gaussian_blend_negdt_bwd` covers the general case and
+    is dead-code-eliminated when unused).
+
+    gn4_ref: [1, TN, 4] packed (gnum_x, gnum_y, gnum_z, gdeno);
+    gpd_ref: [1, 8, Cnp] accumulated across N-tiles — rows 0-2 grad
+    pert, row 3 grad delta. Per-center sums are ones-row matmuls
+    (axis-0 vector reductions don't lower — see _gblend_fwd_kernel).
+    """
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        gpd_ref[0] = jnp.zeros_like(gpd_ref[0])
+
+    negdt = negdt_ref[0]                                     # [TN, Cnp]
+    pd = pd_ref[0]                                           # [Cnp, 8]
+    pertt = pertt_ref[0]                                     # [3, Cnp]
+    gn4 = gn4_ref[0]                                         # [TN, 4]
+    Cnp = pd.shape[0]
+    TN = negdt.shape[0]
+    hi = jax.lax.Precision.HIGHEST
+
+    delta = pd[:, 4][None, :]                                # [1, Cnp]
+    ker = jnp.exp(negdt / (2.0 * delta * delta))             # [TN, Cnp]
+    if cn_valid < Cnp:
+        col = lax.broadcasted_iota(jnp.int32, ker.shape, 1)
+        ker = jnp.where(col < cn_valid, ker, 0.0)
+
+    # g_ker[n,j] = sum_c gnum[n,c] * pert[j,c] + gdeno[n]
+    gker = jax.lax.dot_general(
+        gn4[:, 0:3], pertt, (((1,), (0,)), ((), ())),
+        precision=hi, preferred_element_type=jnp.float32) \
+        + gn4[:, 3:4]                                        # [TN, Cnp]
+    gkk = gker * ker
+
+    ones_row = jnp.ones((1, TN), jnp.float32)
+    acc = jnp.zeros((8, Cnp), jnp.float32)
+    row8 = lax.broadcasted_iota(jnp.int32, (8, Cnp), 0)
+
+    def colsum(x):  # [TN, Cnp] -> [1, Cnp] via ones-row matmul
+        return jax.lax.dot_general(
+            ones_row, x, (((1,), (0,)), ((), ())),
+            precision=hi, preferred_element_type=jnp.float32)
+
+    for c in range(3):
+        acc = acc + jnp.where(row8 == c,
+                              colsum(ker * gn4[:, c:c + 1]), 0.0)
+    # d ker / d delta = ker * d * delta^-3 with d = -negd (see
+    # _gblend_bwd_kernel — identical expression there).
+    dinv = 1.0 / delta                                       # [1, Cnp]
+    gdelta = colsum(gkk * (-negdt)) * (dinv * dinv * dinv)
+    acc = acc + jnp.where(row8 == 3, gdelta, 0.0)
+    gpd_ref[0] += acc
+
+
+def _gblend_negdt_pad(negdt, delta, pert, tile_n: int):
+    """Pad Cn to a sublane multiple (delta pad 1.0 keeps 1/delta
+    finite; ker on padded centers is masked in-kernel) and N to the
+    tile size; returns padded operands + padded sizes."""
+    B, N, Cn = negdt.shape
+    cn_pad = (-Cn) % 8
+    if cn_pad:
+        negdt = jnp.pad(negdt, ((0, 0), (0, 0), (0, cn_pad)))
+        pert = jnp.pad(pert, ((0, 0), (0, cn_pad), (0, 0)))
+        delta = jnp.pad(delta, ((0, 0), (0, cn_pad)),
+                        constant_values=1.0)
+    n_pad = (-N) % tile_n
+    if n_pad:
+        negdt = jnp.pad(negdt, ((0, 0), (0, n_pad), (0, 0)))
+    shp = pert.shape[:2]
+    pd = jnp.concatenate(
+        [pert, jnp.ones(shp + (1,), jnp.float32),
+         delta[..., None], jnp.zeros(shp + (3,), jnp.float32)],
+        axis=-1)                                             # [B, Cnp, 8]
+    return negdt, pd, pert, Cn + cn_pad, N + n_pad
+
+
+def gaussian_blend_negdt_pallas(negdt: jnp.ndarray, delta: jnp.ndarray,
+                                pert: jnp.ndarray, tile_n: int = 512
+                                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused blend forward from the hoisted field:
+    (num [B, N, 3], deno [B, N]), all f32. negdt is [B, N, Cn]."""
+    B, N, Cn = negdt.shape
+    tile_n = min(tile_n, max(128, -(-N // 128) * 128))
+    f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
+    negdtp, pd, _, Cnp, Np = _gblend_negdt_pad(
+        f32(negdt), f32(delta), f32(pert), tile_n)
+
+    out = pl.pallas_call(
+        functools.partial(_gblend_negdt_fwd_kernel, cn_valid=Cn),
+        grid=(B, Np // tile_n),
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        in_specs=[
+            pl.BlockSpec((1, tile_n, Cnp), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, Cnp, 8), lambda b, t: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile_n, 4), lambda b, t: (b, t, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Np, 4), jnp.float32),
+    )(negdtp, pd)
+    return out[:, :N, 0:3], out[:, :N, 3]
+
+
+def gaussian_blend_negdt_bwd_pallas(negdt: jnp.ndarray,
+                                    delta: jnp.ndarray,
+                                    pert: jnp.ndarray,
+                                    g_num: jnp.ndarray,
+                                    g_deno: jnp.ndarray,
+                                    tile_n: int = 512):
+    """Grads wrt (delta [B, Cn], pert [B, Cn, 3]) by tile recompute."""
+    B, N, Cn = negdt.shape
+    tile_n = min(tile_n, max(128, -(-N // 128) * 128))
+    f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
+    negdtp, pd, pertp, Cnp, Np = _gblend_negdt_pad(
+        f32(negdt), f32(delta), f32(pert), tile_n)
+    gn = f32(g_num)
+    gd = f32(g_deno)
+    n_pad = Np - N
+    if n_pad:  # zero cotangents on padded rows contribute nothing
+        gn = jnp.pad(gn, ((0, 0), (0, n_pad), (0, 0)))
+        gd = jnp.pad(gd, ((0, 0), (0, n_pad)))
+    gn4 = jnp.concatenate([gn, gd[..., None]], axis=-1)      # [B, Np, 4]
+    pertt = jnp.swapaxes(pertp, 1, 2)                        # [B, 3, Cnp]
+
+    gpd = pl.pallas_call(
+        functools.partial(_gblend_negdt_bwd_kernel, cn_valid=Cn),
+        grid=(B, Np // tile_n),
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        in_specs=[
+            pl.BlockSpec((1, tile_n, Cnp), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, Cnp, 8), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((1, 3, Cnp), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((1, tile_n, 4), lambda b, t: (b, t, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 8, Cnp), lambda b, t: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, 8, Cnp), jnp.float32),
+    )(negdtp, pd, pertt, gn4)
+    g_delta = gpd[:, 3, :Cn]
+    g_pert = jnp.swapaxes(gpd[:, 0:3, :Cn], 1, 2)            # [B, Cn, 3]
+    return g_delta, g_pert
+
+
+# ---------------------------------------------------------------------------
 # Fused KDE density (PointConv)
 # ---------------------------------------------------------------------------
 #

@@ -461,6 +461,24 @@ def main():
     check("gaussian_blend negd hoist bitwise", blend_same,
           f"value inline={float(v_i):.6e} hoisted={float(v_h):.6e}")
 
+    # ---- schedule-pinned blend-from-field kernel pair (round 5) ----
+    # the B>=128 HiT-ADV route: values + (delta, pert) grads vs the
+    # stock hoisted-field program, on the chip.
+    try:
+        negdt_b = jnp.swapaxes(G.neg_gaussian_field(cb, ob), 1, 2)
+        v_k, g_k = _blend_loss(
+            lambda d, p: G.gaussian_blend_negdt(negdt_b, d, p))(db, pb)
+        kerr = max(
+            abs(float(v_k) - float(v_h)) / (abs(float(v_h)) + 1e-30),
+            max(float(jnp.max(jnp.abs(a - b)))
+                / (float(jnp.max(jnp.abs(a))) + 1e-30)
+                for a, b in zip(g_h, g_k)))
+        check("gaussian_blend negdt kernel pair", kerr < 1e-4,
+              f"max rel err {kerr:.2e}")
+    except Exception as e:  # Mosaic compile failure
+        check("gaussian_blend negdt kernel pair", False,
+              f"EXC {type(e).__name__}: " + str(e).splitlines()[0][:160])
+
     # ---- HiT-ADV end-to-end (gaussian_blend) at B=1 and B=4 ----
     from hitadv_tpu.attacks import base
     from hitadv_tpu.attacks.hit_adv import HiTADVConfig, make_hit_adv

@@ -69,3 +69,99 @@ def test_fps_backends_agree(B, N, npoint):
     got = np.asarray(G.farthest_point_sample(pts, npoint, start_idx=0))
     G.set_backend("auto")
     np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("B,Cn,N", [(1, 7, 137), (3, 33, 222),
+                                    (2, 100, 301), (1, 192, 100)])
+def test_blend_negdt_backends_agree(B, Cn, N):
+    """Hoisted-field blend kernel vs the stock XLA tail at off-tile
+    shapes (Cn off the 8-sublane pad, N off the tile_n grid), values
+    and the attack-realistic (delta, pert) grads."""
+    import jax
+
+    rng = np.random.RandomState(hash((B, Cn, N)) % 2 ** 31)
+    ori = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+    central = ori[:, :Cn] if Cn <= N else jnp.tile(ori, (1, 2, 1))[:, :Cn]
+    delta = jnp.asarray(0.1 + rng.rand(B, Cn).astype(np.float32))
+    pert = jnp.asarray(rng.randn(B, Cn, 3).astype(np.float32) * 0.1)
+    negd = G.neg_gaussian_field(central, ori)
+    negdt = jnp.swapaxes(negd, 1, 2)
+
+    def loss(fn, field, d, p):
+        num, deno = fn(field, d, p)
+        return jnp.sum((num / deno[..., None]) ** 2)
+
+    ref_v, ref_g = jax.value_and_grad(
+        lambda d, p: loss(G._blend_from_negd, negd, d, p),
+        argnums=(0, 1))(delta, pert)
+    G.set_backend("pallas")
+    try:
+        got_v, got_g = jax.value_and_grad(
+            lambda d, p: loss(G.gaussian_blend_negdt, negdt, d, p),
+            argnums=(0, 1))(delta, pert)
+    finally:
+        G.set_backend("auto")
+    np.testing.assert_allclose(float(got_v), float(ref_v), rtol=1e-5)
+    for r, g, name in zip(ref_g, got_g, ("delta", "pert")):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)
+
+
+@pytest.mark.parametrize("B,N,M,C", [(2, 131, 600, 3), (1, 257, 512, 19),
+                                     (2, 999, 640, 64)])
+def test_gather_scatter_backends_agree(B, N, M, C):
+    """index_points dispatch (one-hot MXU gather + scatter-add VJP)
+    vs the XLA path at off-tile shapes above the kernel gates
+    (N >= 128, flat rows >= 512). Forward contract is bitwise; the
+    hi|lo f32 scatter grad is gradient-grade (targeted tests pin the
+    2.8e-5 class)."""
+    import jax
+
+    rng = np.random.RandomState(hash(("gs", B, N, M, C)) % 2 ** 31)
+    y = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, N, (B, M)).astype(np.int32))
+    w = jnp.asarray(rng.randn(B, M, C).astype(np.float32))
+
+    def loss(y):
+        return jnp.sum(G.index_points(y, idx) * w)
+
+    res = {}
+    for backend in ("xla", "pallas"):
+        G.set_backend(backend)
+        try:
+            res[backend] = (np.asarray(G.index_points(y, idx)),
+                            np.asarray(jax.grad(loss)(y)))
+        finally:
+            G.set_backend("auto")
+    np.testing.assert_array_equal(res["pallas"][0], res["xla"][0])
+    np.testing.assert_allclose(res["pallas"][1], res["xla"][1],
+                               atol=1e-4)
+
+
+@pytest.mark.parametrize("B,N,k,C", [(1, 131, 5, 6), (2, 222, 20, 64),
+                                     (1, 301, 9, 3)])
+def test_graph_max_pool_backends_agree(B, N, k, C):
+    """EdgeConv neighbor-max dispatch at off-tile shapes, values and
+    first-argmax-routed grads."""
+    import jax
+
+    rng = np.random.RandomState(hash(("gmp", B, N, k, C)) % 2 ** 31)
+    y = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, N, (B, N, k)).astype(np.int32))
+    w = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+
+    def loss(y):
+        return jnp.sum(G.graph_max_pool(y, idx) * w)
+
+    res = {}
+    for backend in ("xla", "pallas"):
+        G.set_backend(backend)
+        try:
+            res[backend] = (np.asarray(G.graph_max_pool(y, idx)),
+                            np.asarray(jax.grad(loss)(y)))
+        finally:
+            G.set_backend("auto")
+    np.testing.assert_allclose(res["pallas"][0], res["xla"][0],
+                               atol=1e-6)
+    np.testing.assert_allclose(res["pallas"][1], res["xla"][1],
+                               atol=1e-5)

@@ -549,6 +549,77 @@ class TestGaussianBlend:
                                        rtol=1e-4, atol=1e-5,
                                        err_msg=name)
 
+    @pytest.mark.parametrize("B,Cn,N", [(2, 12, 200), (1, 192, 512),
+                                        (3, 8, 100), (2, 15, 130)])
+    def test_negdt_fwd_matches_xla(self, rng, B, Cn, N):
+        # schedule-pinned blend from the hoisted field (the B>=128
+        # HiT-ADV route) vs the stock program
+        central, ori, delta, pert = self._inputs(rng, B, Cn, N)
+        negd = G.neg_gaussian_field(central, ori)
+        negdt = jnp.swapaxes(negd, 1, 2)
+        want_num, want_deno = G._blend_from_negd(negd, delta, pert)
+        num, deno = PK.gaussian_blend_negdt_pallas(negdt, delta, pert)
+        np.testing.assert_allclose(np.asarray(num), np.asarray(want_num),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(deno),
+                                   np.asarray(want_deno),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_negdt_grads_match_xla_all_args(self, rng):
+        central, ori, delta, pert = self._inputs(rng, B=2, Cn=12, N=130)
+        negdt = jnp.swapaxes(G.neg_gaussian_field(central, ori), 1, 2)
+        w_num = jnp.array(rng.randn(2, 130, 3).astype(np.float32))
+        w_deno = jnp.array(rng.randn(2, 130).astype(np.float32))
+
+        def loss(fn, negdt, delta, pert):
+            num, deno = fn(negdt, delta, pert)
+            return jnp.sum(num * w_num) + jnp.sum(deno * w_deno)
+
+        want = jax.grad(functools.partial(
+            loss, G._gaussian_blend_negdt_xla), argnums=(0, 1, 2))(
+                negdt, delta, pert)
+        G.set_backend("pallas")
+        try:
+            got = jax.grad(functools.partial(
+                loss, G.gaussian_blend_negdt), argnums=(0, 1, 2))(
+                    negdt, delta, pert)
+        finally:
+            G.set_backend("auto")
+        for g_x, g_p, name in zip(want, got, ("negdt", "delta", "pert")):
+            np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
+                                       rtol=1e-4, atol=1e-5,
+                                       err_msg=name)
+
+    def test_hit_adv_trajectory_invariant_across_blend_impls(self, rng):
+        # the full attack with the kernel blend forced vs the stock
+        # XLA blend — the B=256 dispatch must not change trajectories
+        from hitadv_tpu.attacks import base, hit_adv
+        from hitadv_tpu.data import synthetic_clouds
+        from hitadv_tpu.models import pointnet
+
+        pts, labels = synthetic_clouds(2, num_points=128, seed=62)
+        params = pointnet.init(jax.random.PRNGKey(0))
+        cfg = hit_adv.HiTADVConfig(binary_step=2, num_iter=4,
+                                   central_num=16, total_central_num=32,
+                                   curv_loss_knn=4)
+        out = {}
+        for impl in ("xla", "pallas"):
+            G.set_blend_impl(impl)
+            if impl == "pallas":
+                G.set_backend("pallas")
+            try:
+                attack = hit_adv.make_hit_adv(
+                    lambda x: pointnet.apply(params, x),
+                    base.make_adv_fn("logits", 30.0, False), cfg)
+                out[impl] = attack(jnp.array(pts), jnp.array(labels),
+                                   jax.random.PRNGKey(3))
+            finally:
+                G.set_blend_impl("auto")
+                G.set_backend("auto")
+        np.testing.assert_allclose(np.asarray(out["xla"].adv_points),
+                                   np.asarray(out["pallas"].adv_points),
+                                   rtol=1e-4, atol=2e-5)
+
     def test_hit_adv_trajectory_invariant_across_backends(self, rng):
         from hitadv_tpu.attacks import base, hit_adv
         from hitadv_tpu.data import synthetic_clouds
