@@ -165,3 +165,18 @@ def test_graph_max_pool_backends_agree(B, N, k, C):
                                atol=1e-6)
     np.testing.assert_allclose(res["pallas"][1], res["xla"][1],
                                atol=1e-5)
+
+
+def test_blend_impl_knob_contract():
+    """A typo'd HITADV_BLEND_IMPL value must fail loudly (same
+    contract as HITADV_EXTRACT_LAYOUT), and the default auto mode
+    must never route the attack through the rejected kernel pair."""
+    assert G.blend_negdt_active(256) is False          # auto == xla
+    with pytest.raises(ValueError):
+        G.set_blend_impl("palas")                      # the typo class
+    assert G._BLEND_IMPL == "auto"                     # unchanged
+    G.set_blend_impl("pallas")
+    try:
+        assert G.blend_negdt_active(2) is True
+    finally:
+        G.set_blend_impl("auto")
