@@ -180,3 +180,68 @@ def test_blend_impl_knob_contract():
         assert G.blend_negdt_active(2) is True
     finally:
         G.set_blend_impl("auto")
+
+
+@pytest.mark.parametrize("B,N,bw", [(1, 137, 0.12), (2, 301, 0.25),
+                                    (3, 65, 0.4)])
+def test_kde_density_backends_agree(B, N, bw):
+    """PointConv KDE dispatch at off-tile N, values + grads (the XLA
+    path's matmul-form distances carry ~1e-6 cancellation near d=0;
+    targeted tests pin the tolerance class)."""
+    import jax
+
+    rng = np.random.RandomState(hash(("kde", B, N)) % 2 ** 31)
+    xyz = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+    w = jnp.asarray(rng.randn(B, N).astype(np.float32))
+
+    def loss(x):
+        return jnp.sum(G.kde_density(x, bw) * w)
+
+    res = {}
+    for backend in ("xla", "pallas"):
+        G.set_backend(backend)
+        try:
+            res[backend] = (np.asarray(G.kde_density(xyz, bw)),
+                            np.asarray(jax.grad(loss)(xyz)))
+        finally:
+            G.set_backend("auto")
+    np.testing.assert_allclose(res["pallas"][0], res["xla"][0],
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(res["pallas"][1], res["xla"][1],
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("B,N,K,C", [(2, 137, 16, 24), (1, 300, 8, 40),
+                                     (3, 999, 24, 8)])
+def test_linear_bn_max_backends_agree(B, N, K, C):
+    """Fused linear+BN+global-max dispatch (max_linear_pallas) vs the
+    unfused composition at off-tile N, values + the first-argmax
+    sparse backward (ties are measure-zero on continuous data)."""
+    import jax
+    from hitadv_tpu.nn import functional as F
+
+    rng = np.random.RandomState(hash(("mlm", B, N, K, C)) % 2 ** 31)
+    lin = {"w": jnp.asarray(rng.randn(K, C).astype(np.float32) * 0.2),
+           "b": jnp.asarray(rng.randn(C).astype(np.float32) * 0.1)}
+    bn = {"scale": jnp.asarray(0.5 + rng.rand(C).astype(np.float32)),
+          "bias": jnp.asarray(rng.randn(C).astype(np.float32) * 0.1),
+          "mean": jnp.asarray(rng.randn(C).astype(np.float32) * 0.1),
+          "var": jnp.asarray(0.5 + rng.rand(C).astype(np.float32))}
+    x = jnp.asarray(rng.randn(B, N, K).astype(np.float32))
+    w = jnp.asarray(rng.randn(B, C).astype(np.float32))
+
+    def loss(x):
+        return jnp.sum(F.linear_bn_max(lin, bn, x) * w)
+
+    res = {}
+    for backend in ("xla", "pallas"):
+        G.set_backend(backend)
+        try:
+            res[backend] = (np.asarray(F.linear_bn_max(lin, bn, x)),
+                            np.asarray(jax.grad(loss)(x)))
+        finally:
+            G.set_backend("auto")
+    np.testing.assert_allclose(res["pallas"][0], res["xla"][0],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(res["pallas"][1], res["xla"][1],
+                               rtol=1e-4, atol=1e-4)
